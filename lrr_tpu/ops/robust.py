@@ -1,0 +1,146 @@
+"""Robust estimation kernels.
+
+Vectorized equivalents of the reference's scalar robust utilities
+(cdcl/cdcl_utils.h:135-245) and scale estimators (MAD; MUSE via VXL
+rrel_muset_obj, used at cdcl/cdcl_estimation_ICP_matching_all.txx:719-726).
+All functions take *squared* residuals where the reference does and are
+mask-aware so padded entries never contaminate statistics.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import erfinv
+
+# Beaton-Tukey constant b = 4 and the f-multiplier for k = 3.0
+# (cdcl/cdcl_utils.h:160-166).
+BT_B2 = 16.0
+BT_F = 2.9872
+
+
+def weight_bt(r2: jax.Array) -> jax.Array:
+    """Beaton-Tukey weight of a squared residual (cdcl_utils.h:142-152):
+    (1 - r2/16)^2 for r2 <= 16 else 0."""
+    w = jnp.square(1.0 - r2 / BT_B2)
+    return jnp.where(r2 <= BT_B2, w, 0.0)
+
+
+def rho_bt(r2: jax.Array) -> jax.Array:
+    """Modified Beaton-Tukey rho of a squared residual (cdcl_utils.h:158-178)."""
+    c = BT_B2 / 6.0
+    inner = 1.0 - jnp.power(jnp.maximum(1.0 - r2 / BT_B2, 0.0), 3.0)
+    return jnp.where(r2 > BT_B2, BT_F * c, BT_F * c * inner)
+
+
+def rho_p_bt(r2: jax.Array) -> jax.Array:
+    """d rho / d r2 (cdcl_utils.h:183-204)."""
+    temp = 1.0 - r2 / BT_B2
+    return jnp.where(r2 > BT_B2, 0.0, BT_F * 0.5 * temp * temp)
+
+
+def weight_bt_scaled(r2: jax.Array) -> jax.Array:
+    """The f-scaled BT weight used by the EM-CDC objective
+    (cdcl_utils.h:209-228): f * (1 - r2/16)^2 for r2 <= 16 else 0."""
+    return BT_F * weight_bt(r2)
+
+
+def weight_cauchy(r2: jax.Array) -> jax.Array:
+    """Cauchy weight, b^2 = 9 (cdcl_utils.h:232-237)."""
+    return 1.0 / (1.0 + r2 / 9.0)
+
+
+def gauss_weight(d: jax.Array, sigma: jax.Array, dim: int = 3) -> jax.Array:
+    """Isotropic Gaussian weight of offset vectors [..., dim]
+    (cdcl_utils.h:240-245 — including its sqrt(sigma) normalizer quirk)."""
+    k = (2.0 * jnp.pi) ** (dim / 2.0) * jnp.sqrt(sigma)
+    return jnp.exp(-0.5 * jnp.sum(d * d, -1) / (sigma * sigma)) / k
+
+
+def spatial_weight(d2: jax.Array, falloff: float = 5.0) -> jax.Array:
+    """Cauchy-like spatial falloff on squared normalized distance-to-query,
+    w = 1/(1 + falloff * d2) (cdcl_estimation_ICP_matching_all.txx:972-1004)."""
+    return 1.0 / (1.0 + falloff * d2)
+
+
+def _masked_sort(values: jax.Array, mask: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Sort ascending with invalid entries pushed to +inf at the tail."""
+    big = jnp.asarray(jnp.finfo(values.dtype).max, values.dtype)
+    v = jnp.where(mask, values, big)
+    return jnp.sort(v), jnp.sum(mask.astype(jnp.int32))
+
+
+def masked_median(values: jax.Array, mask: jax.Array) -> jax.Array:
+    """Median of the valid entries (lower median, matching nth_element use)."""
+    v, n = _masked_sort(values, mask)
+    idx = jnp.maximum(n // 2, 0)
+    return v[jnp.clip(idx, 0, v.shape[0] - 1)]
+
+
+def mad_scale(abs_residuals: jax.Array, mask: jax.Array) -> jax.Array:
+    """Median-absolute-deviation scale of |residuals| about zero with the
+    half-normal consistency constant 1.4826 (rrel_util_median_abs_dev_scale)."""
+    med = masked_median(abs_residuals, mask)
+    return 1.4826 * med
+
+
+_HALF_NORMAL_CONST = jnp.sqrt(2.0)
+
+
+def _half_normal_quantile(p: jax.Array) -> jax.Array:
+    """Quantile of |N(0,1)|: Phi^-1((1+p)/2) = sqrt(2) erfinv(p)."""
+    return _HALF_NORMAL_CONST * erfinv(jnp.clip(p, 0.0, 0.999999))
+
+
+def muse_scale(
+    abs_residuals: jax.Array,
+    mask: jax.Array,
+    min_frac: float = 0.1,
+    max_frac: float = 0.9,
+    num_k: int = 41,
+) -> jax.Array:
+    """Minimum Unbiased Scale Estimator (MUSE) over order statistics.
+
+    TPU-friendly re-derivation of VXL's rrel_muset_obj (table-free variant,
+    consumed at cdcl_estimation_ICP_matching_all.txx:719-726): for each
+    candidate inlier fraction k/n over a fixed grid, form the unbiased scale
+    estimate from the trimmed mean of order statistics,
+
+        s_k^2 = sum_{i<=k} r_(i)^2 / sum_{i<=k} E[u_(i:n)^2],
+
+    approximating E[u_(i:n)] by the half-normal quantile at i/(n+1), and
+    return min_k s_k.  The minimum over k adapts to an unknown outlier
+    fraction exactly as MUSE does; the quantile approximation of the order
+    statistic expectation is standard (Royall/blom-type) and agrees with the
+    table to O(1/n).  Validated behaviorally in tests/test_robust.py.
+    """
+    r_sorted, n = _masked_sort(abs_residuals, mask)
+    n = jnp.maximum(n, 2)
+    cap = abs_residuals.shape[0]
+
+    # prefix sums of squared sorted residuals and of expected squared
+    # half-normal order statistics
+    idx = jnp.arange(1, cap + 1, dtype=r_sorted.dtype)
+    p = idx / (n.astype(r_sorted.dtype) + 1.0)
+    eu = _half_normal_quantile(p)
+    valid_row = idx <= n.astype(r_sorted.dtype)
+    r2c = jnp.cumsum(jnp.where(valid_row, r_sorted * r_sorted, 0.0))
+    eu2c = jnp.cumsum(jnp.where(valid_row, eu * eu, 0.0))
+
+    fracs = jnp.linspace(min_frac, max_frac, num_k)
+    ks = jnp.clip(
+        (fracs * n.astype(r_sorted.dtype)).astype(jnp.int32) - 1, 1, cap - 1
+    )
+    s2 = r2c[ks] / jnp.maximum(eu2c[ks], 1e-30)
+    return jnp.sqrt(jnp.min(s2))
+
+
+def weighted_scale(
+    r2: jax.Array, weight: jax.Array, mask: jax.Array
+) -> jax.Array:
+    """scale = sqrt(sum w r^2 / sum w) — the post-first-iteration scale
+    (cdcl_estimation_ICP_matching_all.txx:731-733)."""
+    w = jnp.where(mask, weight, 0.0)
+    num = jnp.sum(w * r2)
+    den = jnp.maximum(jnp.sum(w), 1e-30)
+    return jnp.sqrt(num / den)
