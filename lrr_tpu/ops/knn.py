@@ -1,0 +1,84 @@
+"""Brute-force tiled nearest-neighbor search.
+
+Replaces every kd-tree in the reference (rsdl trees over 195-d descriptors,
+indexing_one_descriptor.cxx:642-658; ITK trees over keypoint/feature
+locations, itkKdTreeForThreading.h:40 — P4 in SURVEY §2.5).  Trees do not
+vectorize on TPU; a tiled distance matrix rides the MXU instead via the
+||a-b||^2 = |a|^2 + |b|^2 - 2ab identity, and is *exact* where the
+reference's bounded-leaf search was approximate.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def knn(
+    queries: jax.Array,  # [Q, D]
+    points: jax.Array,  # [N, D]
+    point_mask: jax.Array,  # [N]
+    k: int,
+    query_chunk: int = 1024,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact k-NN by squared L2.  Returns (sq_dists [Q, k], indices [Q, k]);
+    masked points never match (distance +inf)."""
+    Q = queries.shape[0]
+    pad = (-Q) % query_chunk
+    q = jnp.concatenate(
+        [queries, jnp.zeros((pad, queries.shape[1]), queries.dtype)], 0
+    )
+    p2 = jnp.sum(points * points, -1)
+    inf = jnp.asarray(jnp.inf, queries.dtype)
+
+    def chunk_fn(qc):
+        d2 = (
+            jnp.sum(qc * qc, -1, keepdims=True)
+            + p2[None, :]
+            - 2.0 * qc @ points.T
+        )
+        d2 = jnp.maximum(d2, 0.0)
+        d2 = jnp.where(point_mask[None, :], d2, inf)
+        neg, idx = jax.lax.top_k(-d2, k)
+        return -neg, idx
+
+    n_chunks = q.shape[0] // query_chunk
+    d2, idx = jax.lax.map(
+        chunk_fn, q.reshape(n_chunks, query_chunk, -1)
+    )
+    return d2.reshape(-1, k)[:Q], idx.reshape(-1, k)[:Q]
+
+
+def nn1(
+    queries: jax.Array, points: jax.Array, point_mask: jax.Array,
+    query_chunk: int = 1024,
+) -> tuple[jax.Array, jax.Array]:
+    """1-NN convenience wrapper. Returns (sq_dist [Q], index [Q])."""
+    d2, idx = knn(queries, points, point_mask, 1, query_chunk)
+    return d2[:, 0], idx[:, 0]
+
+
+def radius_count(
+    queries: jax.Array, points: jax.Array, point_mask: jax.Array, radius: float,
+    query_chunk: int = 1024,
+) -> jax.Array:
+    """Number of masked-in points within `radius` of each query."""
+    Q = queries.shape[0]
+    pad = (-Q) % query_chunk
+    q = jnp.concatenate(
+        [queries, jnp.zeros((pad, queries.shape[1]), queries.dtype)], 0
+    )
+    r2 = radius * radius
+    p2 = jnp.sum(points * points, -1)
+
+    def chunk_fn(qc):
+        d2 = (
+            jnp.sum(qc * qc, -1, keepdims=True) + p2[None, :] - 2.0 * qc @ points.T
+        )
+        return jnp.sum((d2 <= r2) & point_mask[None, :], axis=-1)
+
+    n_chunks = q.shape[0] // query_chunk
+    out = jax.lax.map(chunk_fn, q.reshape(n_chunks, query_chunk, -1))
+    return out.reshape(-1)[:Q]

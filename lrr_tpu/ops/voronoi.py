@@ -1,0 +1,172 @@
+"""Nearest-feature-index (Voronoi) volume via jump flooding.
+
+The reference precomputes a Voronoi map with itk::Danielsson distance maps
+(rrl/examples/compute_distance_map.cxx:54-188) and uses it for O(1)
+nearest-neighbor lookup inside the production ICP
+(rrl/rrl_estimation_ICP_matching_all.txx:494-571).  Sequential distance-map
+algorithms don't vectorize; the TPU-native equivalent is the Jump Flooding
+Algorithm (JFA): log2(n) dense passes, each a fixed set of shifted gathers +
+argmin — pure XLA, trivially shardable over volume blocks (P5 in SURVEY
+§2.5).
+
+A final +1 refinement pass (JFA+1) removes almost all of JFA's rare
+misassignments; `voronoi_map` is validated against exact brute force in
+tests (the reference ships the analogous CompareMapTree cross-check,
+compute_distance_map.cxx:37-138).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lrr_tpu.types import Volume
+
+_OFFSETS = [
+    (dz, dy, dx)
+    for dz in (-1, 0, 1)
+    for dy in (-1, 0, 1)
+    for dx in (-1, 0, 1)
+    if not (dz == 0 and dy == 0 and dx == 0)
+]
+
+BIG = jnp.float32(1e30)
+
+
+def _shift(arr: jax.Array, dz: int, dy: int, dx: int, fill) -> jax.Array:
+    """Shift with constant fill (no wraparound)."""
+    out = arr
+    for ax, d in ((0, dz), (1, dy), (2, dx)):
+        if d == 0:
+            continue
+        out = jnp.roll(out, d, axis=ax)
+        idx = [slice(None)] * out.ndim
+        if d > 0:
+            idx[ax] = slice(0, d)
+        else:
+            idx[ax] = slice(out.shape[ax] + d, out.shape[ax])
+        out = out.at[tuple(idx)].set(fill)
+    return out
+
+
+def voronoi_map(
+    xyz: jax.Array,  # [N, 3] feature locations (physical)
+    mask: jax.Array,  # [N]
+    origin: jax.Array,  # [3] (x, y, z) of the map
+    spacing: jax.Array,  # [3]
+    shape_zyx: tuple[int, int, int],
+    extra_passes: int = 1,
+) -> jax.Array:
+    """int32 [D, H, W] volume of nearest-valid-feature indices (-1 where no
+    feature exists at all)."""
+    D, H, W = shape_zyx
+    n = xyz.shape[0]
+
+    # voxel-center physical coordinates
+    zz, yy, xx = jnp.meshgrid(
+        jnp.arange(D, dtype=jnp.float32),
+        jnp.arange(H, dtype=jnp.float32),
+        jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    vox_phys = jnp.stack(
+        [
+            origin[0] + xx * spacing[0],
+            origin[1] + yy * spacing[1],
+            origin[2] + zz * spacing[2],
+        ],
+        axis=-1,
+    )  # [D, H, W, 3]
+
+    # seed pass: scatter each feature to its containing voxel (min index wins
+    # deterministically on collision via sorted scatter)
+    gi = jnp.round((xyz - origin) / spacing).astype(jnp.int32)  # (x, y, z)
+    inb = (
+        mask
+        & (gi[:, 0] >= 0) & (gi[:, 0] < W)
+        & (gi[:, 1] >= 0) & (gi[:, 1] < H)
+        & (gi[:, 2] >= 0) & (gi[:, 2] < D)
+    )
+    flat = gi[:, 2] * H * W + gi[:, 1] * W + gi[:, 0]
+
+    order = jnp.arange(n - 1, -1, -1)  # descending so lowest index wins last
+    seed = jnp.full((D * H * W,), -1, jnp.int32)
+    upd = jnp.where(inb[order], flat[order], D * H * W)  # invalid -> OOB drop
+    seed = seed.at[upd].set(order.astype(jnp.int32), mode="drop")
+    idx_vol = seed.reshape(D, H, W)
+
+    # pad feature table with a far sentinel for index -1
+    xyz_pad = jnp.concatenate([xyz, jnp.full((1, 3), 1e18, xyz.dtype)], 0)
+
+    def seed_pos(ivol):
+        return xyz_pad[jnp.where(ivol < 0, n, ivol)]
+
+    def dist2(ivol):
+        d = seed_pos(ivol) - vox_phys
+        return jnp.where(ivol < 0, BIG, jnp.sum(d * d, -1))
+
+    def jfa_pass(ivol, step: int):
+        best_i = ivol
+        best_d = dist2(ivol)
+        for dz, dy, dx in _OFFSETS:
+            cand = _shift(ivol, dz * step, dy * step, dx * step, -1)
+            cd = dist2(cand)
+            take = cd < best_d
+            best_i = jnp.where(take, cand, best_i)
+            best_d = jnp.where(take, cd, best_d)
+        return best_i
+
+    max_dim = max(D, H, W)
+    step = 1 << max(0, math.ceil(math.log2(max(max_dim, 2))) - 1)
+    while step >= 1:
+        idx_vol = jfa_pass(idx_vol, step)
+        step //= 2
+    for _ in range(extra_passes):
+        idx_vol = jfa_pass(idx_vol, 1)
+    return idx_vol
+
+
+def lookup(
+    index_vol: jax.Array,
+    origin: jax.Array,
+    spacing: jax.Array,
+    query_xyz: jax.Array,  # [..., 3]
+) -> jax.Array:
+    """O(1) nearest-feature-index lookup with clamping, the TPU analog of
+    the reference's map read (rrl_estimation_ICP_matching_all.txx:530-543)."""
+    D, H, W = index_vol.shape
+    gi = jnp.round((query_xyz - origin) / spacing).astype(jnp.int32)
+    x = jnp.clip(gi[..., 0], 0, W - 1)
+    y = jnp.clip(gi[..., 1], 0, H - 1)
+    z = jnp.clip(gi[..., 2], 0, D - 1)
+    return index_vol[z, y, x]
+
+
+def build_feature_voronoi(
+    xyz: jax.Array,
+    mask: jax.Array,
+    spacing_mm: float = 1.0,
+    margin_mm: float = 2.0,
+    max_shape: int = 512,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Build a Voronoi map over the (host-computed) feature bounding box at
+    `spacing_mm` (reference uses a 1 mm grid, compute_distance_map
+    .cxx:100-104).  Returns (index_vol, origin, spacing).  Shape is computed
+    on host from concrete bounds, so call outside jit."""
+    xyz_h = np.asarray(jax.device_get(xyz))
+    mask_h = np.asarray(jax.device_get(mask))
+    pts = xyz_h[mask_h] if mask_h.any() else np.zeros((1, 3), np.float32)
+    lo = pts.min(0) - margin_mm
+    hi = pts.max(0) + margin_mm
+    shape = np.minimum(
+        np.maximum(np.ceil((hi - lo) / spacing_mm).astype(int) + 1, 2), max_shape
+    )
+    origin = jnp.asarray(lo, jnp.float32)
+    spacing = jnp.asarray([spacing_mm] * 3, jnp.float32)
+    vol = voronoi_map(
+        xyz, mask, origin, spacing, (int(shape[2]), int(shape[1]), int(shape[0]))
+    )
+    return vol, origin, spacing
