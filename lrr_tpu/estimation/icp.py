@@ -1,0 +1,478 @@
+"""Symmetric robust feature-shape-aware affine ICP.
+
+TPU-native re-design of the production estimator
+rrl_estimation_symmetric_ICP_matching_all + rrl_estimation_ICP_matching_all
+(rrl/rrl_estimation_symmetric_ICP_matching_all.{h,txx},
+rrl/rrl_estimation_ICP_matching_all.{h,txx}).  One candidate registration is
+a single fixed-shape XLA program under lax.while_loop; vmap stacks candidates
+and shard_map distributes the per-match partial normal equations (P3 in
+SURVEY §2.5).
+
+Faithful semantics per iteration (one_iteration, .txx:341-438):
+  * forward (moving->fixed) and backward (fixed->moving) matches from a
+    random subsample of `number_matches` source points, nearest neighbor by
+    O(1) Voronoi-index-volume gather (rrl_estimation_ICP_matching_all
+    .txx:494-571);
+  * robust scale: MUSE on the first iteration, RMS of the normal-distance
+    residuals afterwards (the reference re-reads weights that
+    find_closest_euclidean just reset to 1, so its "weighted" scale is the
+    plain RMS — replicated), clamped at 0.005 (symmetric .txx:700-705);
+    Beaton-Tukey weights w = BT(r2/s2)/s2 (cdcl_estimation_ICP_matching_all
+    .txx:744-765);
+  * match/transform normalization to unit-average-radius coordinates
+    (symmetric .txx:713-721); strength weighting with MAD normalization
+    (cdcl .txx:826-865) and spatial falloff 1/(1+5 d^2) about the fixed-set
+    center with MAD normalization (cdcl .txx:972-1004);
+  * both directions accumulate one 12x12 normal-equation system for the
+    FORWARD parameters: a backward match (fixed p -> moving q) contributes
+    the constraint forward(q) ~ p under p's error projector (symmetric
+    .txx:441-655); weights < 1e-4 are dropped; SVD solve; parameter
+    covariance = (AtA)^{-1} (.txx:880-897); backward transform = inverse of
+    forward (.txx:910-912);
+  * convergence on the weighted-error rate |d|<1e-4 with the two-mode
+    oscillation counter, and the match-count doubling schedule 1000 -> all
+    (.txx:372-433).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from lrr_tpu.config import EstimationConfig
+from lrr_tpu.models import Affine3D
+from lrr_tpu.models.affine import normal_equations_terms
+from lrr_tpu.ops import robust
+from lrr_tpu.ops.geometry import masked_mean
+from lrr_tpu.ops.voronoi import lookup
+from lrr_tpu.types import SHEET, TUBE, FeatureSet
+
+WEIGHT_FLOOR = 1e-4  # accumulation skip threshold (symmetric .txx:469,576)
+SCALE_FLOOR = 0.005  # (symmetric .txx:701,704)
+
+
+class VoronoiGrid(NamedTuple):
+    index_vol: jax.Array  # int32 [D, H, W]
+    origin: jax.Array  # [3]
+    spacing: jax.Array  # [3]
+
+
+class Matches(struct.PyTreeNode):
+    """Fixed-capacity single-direction match arrays."""
+
+    from_xyz: jax.Array  # [M, 3]
+    from_strength: jax.Array  # [M]
+    from_shape: jax.Array  # [M]
+    from_dirs: jax.Array  # [M, 3, 3]
+    from_projector: jax.Array  # [M, 3, 3]
+    to_xyz: jax.Array  # [M, 3]
+    to_strength: jax.Array  # [M]
+    to_shape: jax.Array  # [M]
+    to_dirs: jax.Array  # [M, 3, 3]
+    to_projector: jax.Array  # [M, 3, 3]
+    weight: jax.Array  # [M]
+    mask: jax.Array  # [M]
+
+
+class ICPResult(struct.PyTreeNode):
+    trans: Affine3D  # forward transform (world, zero-centered)
+    covar: jax.Array  # [12, 12] world-coordinate parameter covariance (theta order)
+    converged: jax.Array
+    oscillated: jax.Array
+    iterations: jax.Array
+    weighted_error: jax.Array  # forward
+    weighted_error_backward: jax.Array
+    sheet_angles: jax.Array  # radians, forward
+    tube_angles: jax.Array
+    sheet_angles_backward: jax.Array
+    tube_angles_backward: jax.Array
+    number_matches: jax.Array
+
+
+class _Carry(NamedTuple):
+    trans: Affine3D
+    covar: jax.Array
+    weighted_error: jax.Array
+    we_bwd: jax.Array
+    sheet_f: jax.Array
+    tube_f: jax.Array
+    sheet_b: jax.Array
+    tube_b: jax.Array
+    error_difference: jax.Array
+    oscillation_count: jax.Array
+    number_matches: jax.Array
+    finest_level: jax.Array
+    scale_estimated: jax.Array
+    iteration: jax.Array
+    converged: jax.Array
+    key: jax.Array
+
+
+def _mad_scale_dof(values: jax.Array, mask: jax.Array) -> jax.Array:
+    """rrel_util_median_abs_dev_scale with dof=1
+    (rrl_estimation_ICP_matching_all.txx:473-489): 1.4826*(1+5/(n-1)) *
+    upper median of |values|."""
+    big = jnp.asarray(jnp.finfo(values.dtype).max, values.dtype)
+    n = jnp.sum(mask.astype(jnp.int32))
+    v = jnp.sort(jnp.where(mask, jnp.abs(values), big))
+    dof = 1
+    loc = jnp.clip((n - dof) // 2 + dof, 0, values.shape[0] - 1)
+    med = v[loc]
+    nf = jnp.maximum(n - dof, 1).astype(values.dtype)
+    return 1.4826 * (1.0 + 5.0 / nf) * med
+
+
+def _sample_matches(
+    key: jax.Array,
+    src: FeatureSet,
+    dst: FeatureSet,
+    vor: VoronoiGrid,
+    trans: Affine3D,
+    number: jax.Array,
+    cap: int,
+) -> Matches:
+    """Random subsample of `number` source points, matched by Voronoi gather
+    (find_closest_euclidean, rrl_estimation_ICP_matching_all.txx:494-571)."""
+    n = src.capacity
+    cap = min(cap, n)
+    scores = jax.random.uniform(key, (n,))
+    scores = jnp.where(src.mask, scores, jnp.inf)
+    order = jnp.argsort(scores)
+    idx = order[:cap]
+    rank_ok = jnp.arange(cap) < number
+    sel = rank_ok & src.mask[idx]
+
+    from_xyz = src.xyz[idx]
+    mapped = trans.apply(from_xyz)
+    nn = lookup(vor.index_vol, vor.origin, vor.spacing, mapped)
+    ok = sel & (nn >= 0)
+    nn = jnp.maximum(nn, 0)
+
+    return Matches(
+        from_xyz=from_xyz,
+        from_strength=src.strength[idx],
+        from_shape=src.shape[idx],
+        from_dirs=src.directions[idx],
+        from_projector=src.projector[idx],
+        to_xyz=dst.xyz[nn],
+        to_strength=dst.strength[nn],
+        to_shape=dst.shape[nn],
+        to_dirs=dst.directions[nn],
+        to_projector=dst.projector[nn],
+        weight=jnp.where(ok, 1.0, 0.0),
+        mask=ok & dst.mask[nn],
+    )
+
+
+def _normal_residual2(trans: Affine3D, m: Matches) -> jax.Array:
+    e = trans.apply(m.from_xyz) - m.to_xyz
+    r2 = jnp.einsum("mi,mij,mj->m", e, m.to_projector, e)
+    return jnp.maximum(r2, 0.0)
+
+
+def _scale_and_bt_weights(
+    trans: Affine3D, m: Matches, use_muse: jax.Array, cfg: EstimationConfig
+) -> tuple[Matches, jax.Array]:
+    """estimate_scale_and_assign_weight (cdcl_estimation_ICP_matching_all
+    .txx:659-765)."""
+    r2 = _normal_residual2(trans, m)
+    msk = m.mask
+    rms = jnp.sqrt(
+        jnp.sum(jnp.where(msk, r2, 0.0)) / jnp.maximum(jnp.sum(msk), 1)
+    )
+    muse = robust.muse_scale(
+        jnp.sqrt(r2), msk, cfg.muse_min_frac, cfg.muse_max_frac
+    )
+    scale = jnp.where(use_muse, muse, rms)
+    scale = jnp.maximum(scale, SCALE_FLOOR)
+    s2 = scale * scale
+    w = robust.weight_bt(r2 / s2) / s2
+    w = jnp.where(msk, w, 0.0)
+    return m.replace(weight=w), scale
+
+
+def _weight_by_strength(m: Matches) -> Matches:
+    """(cdcl_estimation_ICP_matching_all.txx:826-865)"""
+    gw = jnp.minimum(m.from_strength * m.to_strength, 90000.0)
+    nz = m.mask & (m.weight != 0.0)
+    w = jnp.where(nz, m.weight * gw, m.weight)
+    scale = _mad_scale_dof(gw, nz)
+    w = w / jnp.maximum(scale, 1e-30)
+    return m.replace(weight=w)
+
+
+def _weight_spatially(m_to_norm_xyz: jax.Array, m: Matches, falloff: float) -> Matches:
+    """(cdcl .txx:972-1004): normalized to-location magnitude falloff."""
+    d2 = jnp.sum(m_to_norm_xyz * m_to_norm_xyz, -1)
+    sw = 1.0 / (1.0 + falloff * d2)
+    w = m.weight * sw
+    scale = _mad_scale_dof(sw, m.mask)
+    w = w / jnp.maximum(scale, 1e-30)
+    return m.replace(weight=w)
+
+
+def _normalization_stats(m: Matches) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """cdcl_normalize_matches: centers + average (mean) radii over the
+    forward matches' from/to points (cdcl/cdcl_utils.txx centering)."""
+    cm = masked_mean(m.from_xyz, m.mask)
+    cf = masked_mean(m.to_xyz, m.mask)
+    rm = masked_mean(jnp.linalg.norm(m.from_xyz - cm, axis=-1), m.mask)
+    rf = masked_mean(jnp.linalg.norm(m.to_xyz - cf, axis=-1), m.mask)
+    rm = jnp.maximum(rm, 1e-6)
+    rf = jnp.maximum(rf, 1e-6)
+    return cm, rm, cf, rf
+
+
+def _weighted_error(trans: Affine3D, m: Matches) -> jax.Array:
+    """(rrl_estimation_ICP_matching_all.txx:247-275)"""
+    r2 = _normal_residual2(trans, m)
+    w = jnp.where(m.mask, m.weight, 0.0)
+    return jnp.sum(jnp.sqrt(r2) * w) / jnp.maximum(jnp.sum(w), 1e-30)
+
+
+def _angle_stats(trans: Affine3D, m: Matches) -> tuple[jax.Array, jax.Array]:
+    """Weighted mean sheet-normal / tube-tangent angle disagreement in
+    radians (rrl_estimation_ICP_matching_all.txx:281-374)."""
+    mapped = trans.apply(m.from_xyz)
+
+    def angles(p_dir, q_dir, pair_mask):
+        p_mapped_dir = trans.apply(m.from_xyz + p_dir) - mapped
+        p_mapped_dir = p_mapped_dir / jnp.maximum(
+            jnp.linalg.norm(p_mapped_dir, axis=-1, keepdims=True), 1e-12
+        )
+        c = jnp.clip(jnp.sum(p_mapped_dir * q_dir, -1), -1.0, 1.0)
+        ang = jnp.arccos(c)
+        ang = jnp.where(ang > jnp.pi / 2, jnp.pi - ang, ang)
+        w = jnp.where(pair_mask & m.mask, m.weight, 0.0)
+        return jnp.sum(w * ang) / jnp.maximum(jnp.sum(w), 1e-30)
+
+    sheet = angles(
+        m.from_dirs[:, 0, :],
+        m.to_dirs[:, 0, :],
+        (m.from_shape == SHEET) & (m.to_shape == SHEET),
+    )
+    p_tan = jnp.cross(m.from_dirs[:, 0, :], m.from_dirs[:, 1, :])
+    q_tan = jnp.cross(m.to_dirs[:, 0, :], m.to_dirs[:, 1, :])
+    q_tan = q_tan / jnp.maximum(jnp.linalg.norm(q_tan, axis=-1, keepdims=True), 1e-12)
+    tube = angles(p_tan, q_tan, (m.from_shape == TUBE) & (m.to_shape == TUBE))
+    return sheet, tube
+
+
+def _covar_unnormalize(
+    cov_n: jax.Array,
+    arm: jax.Array,
+    arf: jax.Array,
+    cm: jax.Array,
+    cf: jax.Array,
+) -> jax.Array:
+    """Propagate the parameter covariance from normalized to world
+    coordinates (the analog of cdcl_trans_affine::unnormalize's B-matrix,
+    cdcl_trans_affine.txx:217-305), in theta = vec_row([A | t]) ordering.
+
+    World map:  A_w = (arf/arm) A_n,  t_w = arf t_n + cf - A_w cm.
+    """
+    s = arf / arm
+    L = jnp.zeros((12, 12), cov_n.dtype)
+    # dA_w(i,j)/dA_n(i,j) = s ; theta index of A(i,j) is 4i+j, of t_i is 4i+3
+    for i in range(3):
+        for j in range(3):
+            L = L.at[4 * i + j, 4 * i + j].set(s)
+    for i in range(3):
+        L = L.at[4 * i + 3, 4 * i + 3].set(arf)
+        # dt_w(i)/dA_n(i,j) = -s * cm[j]
+        for j in range(3):
+            L = L.at[4 * i + 3, 4 * i + j].set(-s * cm[j])
+    return L @ cov_n @ L.T
+
+
+def _estimate_ls(
+    trans: Affine3D,
+    fwd: Matches,
+    bwd: Matches,
+    use_muse: jax.Array,
+    cfg: EstimationConfig,
+) -> tuple[Affine3D, jax.Array, Matches, Matches]:
+    """estimate_LS (symmetric .txx:698-918).  Returns (new world transform,
+    world covariance, weighted forward matches, weighted backward matches —
+    with the final composite weights, in world coordinates)."""
+    fwd, _ = _scale_and_bt_weights(trans, fwd, use_muse, cfg)
+    bwd, _ = _scale_and_bt_weights(trans.inverse(), bwd, use_muse, cfg)
+
+    cm, arm, cf, arf = _normalization_stats(fwd)
+
+    def norm_m(x):
+        return (x - cm) / arm
+
+    def norm_f(x):
+        return (x - cf) / arf
+
+    trans_n = trans.normalize(arm, arf, cm, cf)
+
+    fwd = _weight_by_strength(fwd)
+    bwd = _weight_by_strength(bwd)
+    fwd = _weight_spatially(norm_f(fwd.to_xyz), fwd, cfg.spatial_falloff)
+    bwd = _weight_spatially(norm_m(bwd.to_xyz), bwd, cfg.spatial_falloff)
+
+    w_f = jnp.where(fwd.weight >= WEIGHT_FLOOR, fwd.weight, 0.0)
+    w_b = jnp.where(bwd.weight >= WEIGHT_FLOOR, bwd.weight, 0.0)
+
+    # forward: J at normalized from (moving), target normalized to (fixed)
+    AtA_f, Atb_f = normal_equations_terms(
+        trans_n, norm_m(fwd.from_xyz), norm_f(fwd.to_xyz), fwd.to_projector, w_f
+    )
+    # backward constraint re-expressed on forward params (symmetric
+    # .txx:551-655): the backward match stores the FIXED feature as `from`
+    # and the MOVING feature as `to`; it contributes J at the moving point,
+    # target the fixed point, under the FIXED feature's error projector
+    # (p->error_projector_ with p = backward from)
+    AtA_b, Atb_b = normal_equations_terms(
+        trans_n,
+        norm_m(bwd.to_xyz),  # moving feature, normalized as moving
+        norm_f(bwd.from_xyz),  # fixed feature, normalized as fixed
+        bwd.from_projector,
+        w_b,
+    )
+
+    AtA = AtA_f + AtA_b
+    Atb = Atb_f + Atb_b
+
+    cov_n = jnp.linalg.pinv(AtA, hermitian=True)
+    theta = cov_n @ Atb
+    new_n = Affine3D.from_theta(theta, jnp.zeros(3, theta.dtype))
+    new_w = new_n.unnormalize(arm, arf, cm, cf)
+    cov_w = _covar_unnormalize(cov_n, arm, arf, cm, cf)
+    return new_w, cov_w, fwd.replace(weight=w_f), bwd.replace(weight=w_b)
+
+
+def register_candidate(
+    moving: FeatureSet,
+    fixed: FeatureSet,
+    fixed_vor: VoronoiGrid,
+    moving_vor: VoronoiGrid,
+    init: Affine3D,
+    cfg: EstimationConfig,
+    key: jax.Array,
+) -> ICPResult:
+    """Run the full symmetric robust ICP from one initialization."""
+
+    def cond(c: _Carry):
+        return (~c.converged) & (c.iteration < cfg.max_iterations)
+
+    def body(c: _Carry):
+        key, kf, kb = jax.random.split(c.key, 3)
+
+        weighted_error_before = c.weighted_error
+
+        fwd = _sample_matches(
+            kf, moving, fixed, fixed_vor, c.trans, c.number_matches, cfg.max_matches
+        )
+        bwd = _sample_matches(
+            kb, fixed, moving, moving_vor, c.trans.inverse(), c.number_matches,
+            cfg.max_matches,
+        )
+
+        use_muse = ~c.scale_estimated
+        new_trans, cov_w, fwd_w, bwd_w = _estimate_ls(c.trans, fwd, bwd, use_muse, cfg)
+
+        we_after = _weighted_error(new_trans, fwd_w)
+        we_bwd = _weighted_error(new_trans.inverse(), bwd_w)
+        sheet_f, tube_f = _angle_stats(new_trans, fwd_w)
+        sheet_b, tube_b = _angle_stats(new_trans.inverse(), bwd_w)
+
+        curr_diff = we_after - weighted_error_before
+        rate = curr_diff / jnp.where(we_after == 0, 1e-30, we_after)
+        converged = jnp.abs(rate) < cfg.convergence_tol
+
+        osc = c.oscillation_count
+        # oscillation logic (.txx:388-421), active from iteration 1
+        not_finest_switch = (~c.finest_level) & (
+            (osc > 1) | (jnp.abs(rate) < 0.01)
+        )
+        sign_change = curr_diff * c.error_difference < 0.0
+        osc_mode1 = jnp.where(
+            sign_change, osc + 1, jnp.maximum(osc - 1, 0)
+        )
+        conv_mode1 = osc_mode1 > cfg.max_oscillations
+        osc_mode2 = jnp.where(curr_diff > 0.0, osc + 1, osc)
+        conv_mode2 = osc_mode2 > 3
+
+        big_error = we_after > 1.5
+        osc_new = jnp.where(big_error, osc_mode1, osc_mode2)
+        conv_osc = jnp.where(big_error, conv_mode1, conv_mode2)
+
+        active = (c.iteration > 0) & (~converged)
+        converged = jnp.where(
+            (c.iteration > 0) & not_finest_switch, True, converged
+        )
+        osc_new = jnp.where(active & ~not_finest_switch, osc_new, osc)
+        converged = jnp.where(active & ~not_finest_switch & conv_osc, True, converged)
+
+        # resolution switching: double match count (.txx:423-433)
+        n_valid_m = jnp.sum(moving.mask.astype(jnp.int32))
+        n_valid_f = jnp.sum(fixed.mask.astype(jnp.int32))
+        do_switch = converged & (~c.finest_level)
+        new_number = jnp.where(do_switch, c.number_matches * 2, c.number_matches)
+        at_max = (new_number >= n_valid_m) & (new_number >= n_valid_f)
+        new_finest = jnp.where(do_switch, at_max, c.finest_level)
+        osc_new = jnp.where(do_switch, 0, osc_new)
+        new_err_diff = jnp.where(do_switch, 0.0, curr_diff)
+        converged = jnp.where(do_switch, False, converged)
+
+        return _Carry(
+            trans=new_trans,
+            covar=cov_w,
+            weighted_error=we_after,
+            we_bwd=we_bwd,
+            sheet_f=sheet_f,
+            tube_f=tube_f,
+            sheet_b=sheet_b,
+            tube_b=tube_b,
+            error_difference=new_err_diff,
+            oscillation_count=osc_new,
+            number_matches=new_number,
+            finest_level=new_finest,
+            scale_estimated=jnp.asarray(True),
+            iteration=c.iteration + 1,
+            converged=converged & new_finest,
+            key=key,
+        )
+
+    dtype = moving.xyz.dtype
+    c0 = _Carry(
+        trans=init,
+        covar=jnp.zeros((12, 12), dtype),
+        weighted_error=jnp.asarray(0.0, dtype),
+        we_bwd=jnp.asarray(0.0, dtype),
+        sheet_f=jnp.asarray(0.0, dtype),
+        tube_f=jnp.asarray(0.0, dtype),
+        sheet_b=jnp.asarray(0.0, dtype),
+        tube_b=jnp.asarray(0.0, dtype),
+        error_difference=jnp.asarray(0.0, dtype),
+        oscillation_count=jnp.asarray(0, jnp.int32),
+        number_matches=jnp.asarray(cfg.initial_matches, jnp.int32),
+        finest_level=jnp.asarray(False),
+        scale_estimated=jnp.asarray(False),
+        iteration=jnp.asarray(0, jnp.int32),
+        converged=jnp.asarray(False),
+        key=key,
+    )
+    c = jax.lax.while_loop(cond, body, c0)
+
+    return ICPResult(
+        trans=c.trans,
+        covar=c.covar,
+        converged=c.converged,
+        oscillated=c.oscillation_count > cfg.max_oscillations,
+        iterations=c.iteration,
+        weighted_error=c.weighted_error,
+        weighted_error_backward=c.we_bwd,
+        sheet_angles=c.sheet_f,
+        tube_angles=c.tube_f,
+        sheet_angles_backward=c.sheet_b,
+        tube_angles_backward=c.tube_b,
+        number_matches=c.number_matches,
+    )

@@ -1,0 +1,19 @@
+from lrr_tpu.verify.svm import (
+    SvmModel,
+    REFERENCE_FEATURE_MAX,
+    REFERENCE_FEATURE_MIN,
+    fit_rbf_classifier,
+    parse_libsvm_model,
+    predict_probability,
+    scale_measurements,
+)
+
+__all__ = [
+    "SvmModel",
+    "REFERENCE_FEATURE_MAX",
+    "REFERENCE_FEATURE_MIN",
+    "fit_rbf_classifier",
+    "parse_libsvm_model",
+    "predict_probability",
+    "scale_measurements",
+]

@@ -1,0 +1,116 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lrr_tpu.verify import (
+    REFERENCE_FEATURE_MAX,
+    REFERENCE_FEATURE_MIN,
+    SvmModel,
+    fit_rbf_classifier,
+    parse_libsvm_model,
+    predict_probability,
+    scale_measurements,
+)
+from lrr_tpu.verify.svm import decision_function, serialize_libsvm_model
+
+
+class TestScaling:
+    def test_scale_endpoints(self):
+        lo = scale_measurements(jnp.asarray(REFERENCE_FEATURE_MIN))
+        hi = scale_measurements(jnp.asarray(REFERENCE_FEATURE_MAX))
+        np.testing.assert_allclose(np.asarray(lo), -1.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(hi), 1.0, atol=1e-6)
+
+
+class TestModelFormat:
+    def test_roundtrip(self, rng):
+        model = SvmModel(
+            gamma=0.25,
+            rho=0.5,
+            sv=rng.standard_normal((7, 8)).astype(np.float32),
+            sv_coef=rng.standard_normal(7).astype(np.float32),
+            prob_a=-1.2,
+            prob_b=0.1,
+        )
+        text = serialize_libsvm_model(model)
+        back = parse_libsvm_model(text)
+        np.testing.assert_allclose(back.sv, model.sv, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(back.sv_coef, model.sv_coef, rtol=1e-4, atol=1e-5)
+        assert abs(back.gamma - 0.25) < 1e-6
+        assert abs(back.prob_a - (-1.2)) < 1e-6
+        # decision values match
+        x = jnp.asarray(rng.standard_normal((5, 8)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(decision_function(model, x)),
+            np.asarray(decision_function(back, x)),
+            rtol=1e-3, atol=1e-4,
+        )
+
+    def test_decision_function_matches_numpy(self, rng):
+        model = SvmModel(
+            gamma=0.5,
+            rho=-0.3,
+            sv=rng.standard_normal((10, 4)).astype(np.float32),
+            sv_coef=rng.standard_normal(10).astype(np.float32),
+            prob_a=-1.0,
+            prob_b=0.0,
+        )
+        x = rng.standard_normal((6, 4)).astype(np.float32)
+        got = np.asarray(decision_function(model, jnp.asarray(x)))
+        want = np.array(
+            [
+                sum(
+                    c * np.exp(-0.5 * np.sum((xi - s) ** 2))
+                    for c, s in zip(model.sv_coef, model.sv)
+                )
+                + 0.3
+                for xi in x
+            ]
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_probability_monotonic_in_f(self):
+        model = SvmModel(
+            gamma=1.0, rho=0.0,
+            sv=np.zeros((1, 2), np.float32),
+            sv_coef=np.ones(1, np.float32),
+            prob_a=-1.0, prob_b=0.0,
+        )
+        near = predict_probability(model, jnp.asarray([[0.0, 0.0]]))
+        far = predict_probability(model, jnp.asarray([[10.0, 10.0]]))
+        assert float(near[0]) > float(far[0])
+
+
+class TestTraining:
+    def test_learns_separable_problem(self, rng):
+        # aligned: small errors/angles; misaligned: large
+        n = 200
+        aligned = np.concatenate(
+            [rng.uniform(0.8, 2.0, (n, 1)), rng.uniform(0.1, 5.0, (n, 1)),
+             rng.uniform(10, 25, (n, 2)), rng.uniform(0.7, 1.5, (n, 1)),
+             rng.uniform(0.1, 3.0, (n, 1)), rng.uniform(10, 22, (n, 2))],
+            axis=1,
+        ).astype(np.float32)
+        misaligned = np.concatenate(
+            [rng.uniform(5, 16, (n, 1)), rng.uniform(30, 139, (n, 1)),
+             rng.uniform(40, 62, (n, 2)), rng.uniform(1.2, 1.6, (n, 1)),
+             rng.uniform(20, 60, (n, 1)), rng.uniform(35, 60, (n, 2))],
+            axis=1,
+        ).astype(np.float32)
+        X = np.concatenate([aligned, misaligned])
+        y = np.concatenate([np.ones(n), np.zeros(n)])
+        Xs = np.asarray(scale_measurements(jnp.asarray(X)))
+        model = fit_rbf_classifier(Xs, y, steps=300)
+
+        p = np.asarray(predict_probability(model, jnp.asarray(Xs)))
+        acc = ((p > 0.5) == (y > 0)).mean()
+        assert acc > 0.95, acc
+
+    def test_generalizes(self, rng):
+        n = 150
+        X = rng.standard_normal((2 * n, 3)).astype(np.float32)
+        y = (X[:, 0] + 0.5 * X[:, 1] > 0).astype(np.float32)
+        model = fit_rbf_classifier(X[:n], y[:n], gamma=0.5, steps=400)
+        p = np.asarray(predict_probability(model, jnp.asarray(X[n:])))
+        acc = ((p > 0.5) == (y[n:] > 0)).mean()
+        assert acc > 0.85, acc
