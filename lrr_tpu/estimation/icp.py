@@ -82,6 +82,7 @@ class ICPResult(struct.PyTreeNode):
     trans: Affine3D  # forward transform (world, zero-centered)
     covar: jax.Array  # [12, 12] world-coordinate parameter covariance (theta order)
     converged: jax.Array
+    valid: jax.Array  # singular values within bounds (validTransform)
     oscillated: jax.Array
     iterations: jax.Array
     weighted_error: jax.Array  # forward
@@ -109,6 +110,7 @@ class _Carry(NamedTuple):
     scale_estimated: jax.Array
     iteration: jax.Array
     converged: jax.Array
+    valid: jax.Array
     key: jax.Array
 
 
@@ -360,7 +362,9 @@ def register_candidate(
     """Run the full symmetric robust ICP from one initialization."""
 
     def cond(c: _Carry):
-        return (~c.converged) & (c.iteration < cfg.max_iterations)
+        # the driver aborts a candidate whose transform leaves the singular
+        # value sanity bounds (itkLocationRegistration.cxx:2482,2914-2926)
+        return (~c.converged) & (c.iteration < cfg.max_iterations) & c.valid
 
     def body(c: _Carry):
         key, kf, kb = jax.random.split(c.key, 3)
@@ -438,6 +442,7 @@ def register_candidate(
             scale_estimated=jnp.asarray(True),
             iteration=c.iteration + 1,
             converged=converged & new_finest,
+            valid=new_trans.is_valid(*cfg.singular_value_bounds),
             key=key,
         )
 
@@ -458,6 +463,7 @@ def register_candidate(
         scale_estimated=jnp.asarray(False),
         iteration=jnp.asarray(0, jnp.int32),
         converged=jnp.asarray(False),
+        valid=jnp.asarray(True),
         key=key,
     )
     c = jax.lax.while_loop(cond, body, c0)
@@ -466,6 +472,7 @@ def register_candidate(
         trans=c.trans,
         covar=c.covar,
         converged=c.converged,
+        valid=c.valid,
         oscillated=c.oscillation_count > cfg.max_oscillations,
         iterations=c.iteration,
         weighted_error=c.weighted_error,

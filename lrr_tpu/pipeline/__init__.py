@@ -1,0 +1,13 @@
+from lrr_tpu.pipeline.registration import (
+    LocationResult,
+    PairContext,
+    prepare_pair,
+    register_location,
+)
+
+__all__ = [
+    "LocationResult",
+    "PairContext",
+    "prepare_pair",
+    "register_location",
+]

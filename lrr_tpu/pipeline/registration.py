@@ -1,0 +1,227 @@
+"""End-to-end location registration driver.
+
+TPU-native re-design of itk::LocationRegistration::Run()
+(rrl/itkLocationRegistration.{h,cxx}):
+
+  stage 1 (prepare_pair)      — features, keypoints, descriptors and global
+                                Voronoi index maps for both volumes (the
+                                reference reads these as precomputed files,
+                                .cxx:583-928);
+  stage 2+3 (register_location) — per query location: candidate generation
+                                by descriptor indexing, keypoint-frame
+                                initialization (.cxx:1153-1243), ROI feature
+                                selection (FeaturesInROIs, .cxx:1324-1360,
+                                >=1000 features each side, .cxx:1632),
+                                PASS 1 ranking by initial sheet/tube angle
+                                agreement (.cxx:2303-2319), symmetric robust
+                                ICP refinement, decision measurements + SVM
+                                verification, acceptance of the first
+                                verified candidate in rank order
+                                (.cxx:2332-2528).
+
+TPU-first divergence: instead of the reference's sequential candidate loop
+with early exit, ALL candidates refine in parallel under vmap and the
+"first verified in rank order" winner is selected afterwards — identical
+result, far better hardware utilization.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from lrr_tpu.config import PipelineConfig
+from lrr_tpu.estimation import VoronoiGrid, register_candidate
+from lrr_tpu.estimation.icp import _angle_stats, _sample_matches
+from lrr_tpu.estimation.measurements import (
+    backward_covariance,
+    decision_measurements,
+)
+from lrr_tpu.features import detect_features, extract_keypoints
+from lrr_tpu.matching import generate_candidates, initial_transforms
+from lrr_tpu.models import Affine3D
+from lrr_tpu.ops.descriptors import compute_descriptors
+from lrr_tpu.ops.voronoi import build_feature_voronoi
+from lrr_tpu.types import DescriptorSet, FeatureSet, Volume
+from lrr_tpu.verify import predict_probability, scale_measurements
+from lrr_tpu.verify.svm import SvmModel
+
+
+class PairContext(struct.PyTreeNode):
+    """Precomputed per-volume-pair state (stage-1 artifacts)."""
+
+    moving_features: FeatureSet
+    fixed_features: FeatureSet
+    moving_descriptors: DescriptorSet
+    fixed_descriptors: DescriptorSet
+    moving_vor: VoronoiGrid
+    fixed_vor: VoronoiGrid
+
+
+class LocationResult(struct.PyTreeNode):
+    """Per-query output; leading dim C = candidates."""
+
+    trans: Affine3D  # [C] refined forward transforms
+    covar: jax.Array  # [C, 12, 12]
+    measurements: jax.Array  # [C, 8]
+    probability: jax.Array  # [C] P(aligned)
+    verified: jax.Array  # [C]
+    converged: jax.Array  # [C]
+    valid: jax.Array  # [C]
+    oscillated: jax.Array  # [C]
+    enough_features: jax.Array  # [C]
+    candidate_mask: jax.Array  # [C]
+    initial_angle: jax.Array  # [C] PASS-1 ranking key (radians)
+    rank: jax.Array  # [C] candidate order used for selection
+    selected: jax.Array  # scalar index into candidates, -1 if none verified
+    query_mapped: jax.Array  # [C, 3] query mapped to moving space
+
+
+def prepare_pair(
+    moving: Volume, fixed: Volume, cfg: PipelineConfig
+) -> PairContext:
+    """Stage 1 for both volumes: features, keypoints, descriptors, Voronoi
+    maps (ExtractFeatures + ExtractKeypoints + ComputeDescriptors +
+    compute_distance_map)."""
+    fs_m = detect_features(moving, cfg.features)
+    fs_f = detect_features(fixed, cfg.features)
+    kp_m = extract_keypoints(fs_m, cfg.keypoints)
+    kp_f = extract_keypoints(fs_f, cfg.keypoints)
+    ds_m = compute_descriptors(kp_m, fs_m, cfg.descriptors)
+    ds_f = compute_descriptors(kp_f, fs_f, cfg.descriptors)
+    mv = VoronoiGrid(*build_feature_voronoi(fs_m.xyz, fs_m.mask))
+    fv = VoronoiGrid(*build_feature_voronoi(fs_f.xyz, fs_f.mask))
+    return PairContext(
+        moving_features=fs_m,
+        fixed_features=fs_f,
+        moving_descriptors=ds_m,
+        fixed_descriptors=ds_f,
+        moving_vor=mv,
+        fixed_vor=fv,
+    )
+
+
+def _in_box(xyz: jax.Array, lo: jax.Array, hi: jax.Array) -> jax.Array:
+    return jnp.all((xyz >= lo) & (xyz <= hi), axis=-1)
+
+
+def _register_one_candidate(
+    ctx: PairContext,
+    init: Affine3D,
+    query: jax.Array,
+    cfg: PipelineConfig,
+    key: jax.Array,
+):
+    ecfg = cfg.estimation
+    half = ecfg.roi_mm / 2.0
+
+    # the candidate's moving-space query point is the transform center
+    # (SetupFinalTransform re-centers there)
+    qm = init.center
+    moving_lo, moving_hi = qm - half, qm + half
+    fixed_lo, fixed_hi = query - half, query + half
+
+    m_sel = ctx.moving_features.mask & _in_box(
+        ctx.moving_features.xyz, moving_lo, moving_hi
+    )
+    f_sel = ctx.fixed_features.mask & _in_box(
+        ctx.fixed_features.xyz, fixed_lo, fixed_hi
+    )
+    enough = (jnp.sum(m_sel) >= ecfg.min_region_features) & (
+        jnp.sum(f_sel) >= ecfg.min_region_features
+    )
+
+    moving_roi = ctx.moving_features.replace(mask=m_sel)
+    fixed_roi = ctx.fixed_features.replace(mask=f_sel)
+
+    k0, k1, k2 = jax.random.split(key, 3)
+
+    # PASS 1 ranking key: initial sheet/tube angle agreement
+    # (find_closest_euclidean + angle stats at the initial transform,
+    # itkLocationRegistration.cxx:2303-2319)
+    m0 = _sample_matches(
+        k0, moving_roi, ctx.fixed_features, ctx.fixed_vor, init,
+        jnp.asarray(ecfg.initial_matches), ecfg.max_matches,
+    )
+    sheet0, tube0 = _angle_stats(init, m0)
+    initial_angle = 0.5 * (sheet0 + tube0)
+
+    res = register_candidate(
+        moving_roi, fixed_roi_with_full_targets(ctx, f_sel),
+        ctx.fixed_vor, ctx.moving_vor, init, ecfg, k1,
+    )
+
+    cov_b = backward_covariance(
+        res, moving_roi, ctx.fixed_features.replace(mask=f_sel),
+        ctx.fixed_vor, ctx.moving_vor, ecfg, k2,
+    )
+    meas = decision_measurements(res, cov_b, moving_lo, fixed_lo, ecfg.roi_mm)
+    return res, meas, initial_angle, enough, qm
+
+
+def fixed_roi_with_full_targets(ctx: PairContext, f_sel: jax.Array) -> FeatureSet:
+    """The backward direction samples from the fixed ROI subset but both
+    directions' Voronoi targets index the FULL feature arrays (the reference
+    constructs the estimator with full sets as match targets and ROI subsets
+    as sampling sources, itkLocationRegistration.cxx:1645-1650)."""
+    return ctx.fixed_features.replace(mask=f_sel)
+
+
+def register_location(
+    ctx: PairContext,
+    query: jax.Array,  # [3]
+    cfg: PipelineConfig,
+    svm: SvmModel,
+    key: jax.Array,
+) -> LocationResult:
+    """Full stage 2+3 for one query location."""
+    cands = generate_candidates(
+        query, ctx.moving_descriptors, ctx.fixed_descriptors, cfg.indexing
+    )
+    inits = initial_transforms(
+        cands, ctx.moving_descriptors, ctx.fixed_descriptors, query
+    )
+
+    C = cfg.indexing.num_candidates
+    keys = jax.random.split(key, C)
+
+    res, meas, init_angle, enough, qm = jax.vmap(
+        lambda i, k: _register_one_candidate(
+            ctx, i, query, cfg, k
+        )
+    )(inits, keys)
+
+    probs = predict_probability(svm, scale_measurements(meas))
+    usable = (
+        cands.mask & enough & res.valid & (~res.oscillated)
+    )
+    verified = usable & (probs > cfg.verify.accept_probability)
+
+    # PASS 2 order: ascending initial angle among usable candidates
+    rank_key = jnp.where(usable, init_angle, jnp.inf)
+    order = jnp.argsort(rank_key)
+    verified_in_order = verified[order]
+    first = jnp.argmax(verified_in_order)
+    any_verified = jnp.any(verified_in_order)
+    selected = jnp.where(any_verified, order[first], -1)
+
+    return LocationResult(
+        trans=res.trans,
+        covar=res.covar,
+        measurements=meas,
+        probability=probs,
+        verified=verified,
+        converged=res.converged,
+        valid=res.valid,
+        oscillated=res.oscillated,
+        enough_features=enough,
+        candidate_mask=cands.mask,
+        initial_angle=init_angle,
+        rank=order,
+        selected=selected,
+        query_mapped=qm,
+    )

