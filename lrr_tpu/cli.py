@@ -1,0 +1,301 @@
+"""Stage command-line tools.
+
+One subcommand per reference executable so the file-based pipeline can be
+reproduced end to end (README.md:18-53):
+
+  extract-features      <- features/ExtractFeatures.cxx
+  extract-keypoints     <- features/ExtractKeypoints.cxx
+  compute-descriptors   <- features/ComputeDescriptors.cxx
+  compute-distance-map  <- rrl/examples/compute_distance_map.cxx
+  watershed             <- features/WatershedSegmentation1.cxx
+  indexing              <- rrl/examples/indexing_one_descriptor.cxx
+  register              <- rrl/examples/location_registration.cxx
+
+Usage: python -m lrr_tpu.cli <subcommand> ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _load_volume(path):
+    from lrr_tpu.io.mhd import read_mhd_volume
+
+    return read_mhd_volume(path)
+
+
+def cmd_extract_features(args):
+    import jax.numpy as jnp
+
+    from lrr_tpu.config import FeatureConfig
+    from lrr_tpu.features import detect_features
+    from lrr_tpu.io import write_features
+    from lrr_tpu.ops.resample import resample_isotropic
+
+    vol = _load_volume(args.image)
+    if args.resample:
+        vol = resample_isotropic(vol, args.spacing)
+    cfg = FeatureConfig(
+        max_features=args.max_features,
+        min_distance_mm=args.min_distance,
+        contrast_radius_mm=args.contrast_radius,
+    )
+    t0 = time.time()
+    fs = detect_features(vol, cfg)
+    n = int(fs.count())
+    print(f"detected {n} features in {time.time()-t0:.1f}s")
+    write_features(args.output, fs)
+
+
+def cmd_extract_keypoints(args):
+    from lrr_tpu.config import KeypointConfig
+    from lrr_tpu.features import extract_keypoints
+    from lrr_tpu.io import read_features, write_keypoints
+
+    fs = read_features(args.features)
+    kp = extract_keypoints(
+        fs, KeypointConfig(min_distance_mm=args.min_distance, max_keypoints=args.max_keypoints)
+    )
+    print(f"extracted {int(kp.count())} keypoints")
+    write_keypoints(args.output, kp)
+
+
+def cmd_compute_descriptors(args):
+    from lrr_tpu.config import DescriptorConfig
+    from lrr_tpu.io import read_features, read_keypoints, write_descriptors
+    from lrr_tpu.ops.descriptors import compute_descriptors
+
+    kp = read_keypoints(args.keypoints)
+    fs = read_features(args.features)
+    cfg = DescriptorConfig(min_neighbors=args.min_neighbors)
+    ds = compute_descriptors(kp, fs, cfg)
+    print(f"computed {int(ds.keypoints.mask.sum())} descriptors")
+    write_descriptors(args.output, ds)
+
+
+def cmd_compute_distance_map(args):
+    import jax.numpy as jnp
+
+    from lrr_tpu.io import read_features, write_mhd
+    from lrr_tpu.ops.voronoi import build_feature_voronoi
+
+    fs = read_features(args.features)
+    vol, origin, spacing = build_feature_voronoi(
+        fs.xyz, fs.mask, args.spacing, max_shape=args.max_shape
+    )
+    if args.validate:
+        # CompareMapTree analog (compute_distance_map.cxx:37-138): check the
+        # map lookup against exact brute force on the feature points
+        from lrr_tpu.ops.knn import nn1
+        from lrr_tpu.ops.voronoi import lookup
+
+        idx_map = lookup(vol, origin, spacing, fs.xyz)
+        _, idx_bf = nn1(fs.xyz, fs.xyz, fs.mask)
+        m = np.asarray(fs.mask)
+        agree = (np.asarray(idx_map) == np.asarray(idx_bf))[m].mean()
+        print(f"voronoi-vs-bruteforce agreement on feature points: {agree:.4f}")
+    write_mhd(
+        args.output,
+        np.asarray(vol).astype(np.int32),
+        origin=tuple(np.asarray(origin)),
+        spacing=(args.spacing,) * 3,
+    )
+    print(f"voronoi map {vol.shape} written to {args.output}")
+
+
+def cmd_watershed(args):
+    from lrr_tpu.io import write_mhd
+    from lrr_tpu.ops.watershed import watershed_segmentation
+
+    vol = _load_volume(args.image)
+    labels = watershed_segmentation(
+        vol.data,
+        conductance=args.conductance,
+        iterations=args.iterations,
+        lower_threshold=args.lower,
+        scale_level=args.scale,
+    )
+    write_mhd(
+        args.output,
+        np.asarray(labels).astype(np.uint32),
+        origin=tuple(np.asarray(vol.origin)),
+        spacing=tuple(np.asarray(vol.spacing)),
+    )
+    print(f"watershed labels written: {int(np.asarray(labels).max())} regions")
+
+
+def cmd_indexing(args):
+    import jax
+    import jax.numpy as jnp
+
+    from lrr_tpu.config import IndexingConfig
+    from lrr_tpu.io import read_descriptors, write_descriptors
+    from lrr_tpu.matching import generate_candidates
+    from lrr_tpu.types import DescriptorSet
+
+    moving = read_descriptors(args.moving)
+    fixed = read_descriptors(args.fixed)
+    cfg = IndexingConfig(num_candidates=args.candidates)
+
+    queries = []
+    if args.locs:
+        with open(args.locs) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 3:
+                    queries.append([float(v) for v in parts[:3]])
+    else:
+        queries.append([float(v) for v in args.query.split(",")])
+
+    os.makedirs(args.out, exist_ok=True)
+    for t, q in enumerate(queries):
+        cands = generate_candidates(jnp.asarray(q), moving, fixed, cfg)
+        n = int(cands.mask.sum())
+        for c in range(n):
+            mi = int(cands.moving_idx[c])
+            fi = int(cands.fixed_idx[c])
+            rec = {
+                "query": q,
+                "moving_index": mi,
+                "fixed_index": fi,
+                "descriptor_distance": float(cands.desc_dist[c]),
+                "moving_keypoint": np.asarray(moving.keypoints.xyz[mi]).tolist(),
+                "fixed_keypoint": np.asarray(fixed.keypoints.xyz[fi]).tolist(),
+            }
+            with open(
+                os.path.join(args.out, f"match{t:06d}_{c:02d}.json"), "w"
+            ) as f:
+                json.dump(rec, f, indent=1)
+        print(f"query {t}: wrote {n} candidates")
+
+
+def cmd_register(args):
+    import jax
+    import jax.numpy as jnp
+
+    from lrr_tpu.config import PipelineConfig
+    from lrr_tpu.estimation import VoronoiGrid
+    from lrr_tpu.io import read_descriptors, read_features
+    from lrr_tpu.ops.voronoi import build_feature_voronoi
+    from lrr_tpu.pipeline import PairContext, register_location
+    from lrr_tpu.pipeline.results import write_results
+    from lrr_tpu.verify import parse_libsvm_model
+    from lrr_tpu.verify.svm import SvmModel, fit_rbf_classifier
+
+    cfg = PipelineConfig()
+    fs_m = read_features(args.moving_features)
+    fs_f = read_features(args.fixed_features)
+    ds_m = read_descriptors(args.moving_descriptors)
+    ds_f = read_descriptors(args.fixed_descriptors)
+    ctx = PairContext(
+        moving_features=fs_m,
+        fixed_features=fs_f,
+        moving_descriptors=ds_m,
+        fixed_descriptors=ds_f,
+        moving_vor=VoronoiGrid(*build_feature_voronoi(fs_m.xyz, fs_m.mask)),
+        fixed_vor=VoronoiGrid(*build_feature_voronoi(fs_f.xyz, fs_f.mask)),
+    )
+    if args.svm_model:
+        with open(args.svm_model) as f:
+            svm = parse_libsvm_model(f.read())
+    else:
+        print("warning: no SVM model given; using permissive surrogate")
+        svm = SvmModel(
+            gamma=0.1, rho=-1.0,
+            sv=np.zeros((1, 8), np.float32), sv_coef=np.zeros(1, np.float32),
+            prob_a=-1.0, prob_b=0.0,
+        )
+
+    os.makedirs(args.out, exist_ok=True)
+    with open(args.locs) as f:
+        queries = [
+            [float(v) for v in line.split()[:3]]
+            for line in f
+            if len(line.split()) >= 3
+        ]
+    for t, q in enumerate(queries):
+        out = register_location(
+            ctx, jnp.asarray(q), cfg, svm, jax.random.key(t)
+        )
+        write_results(os.path.join(args.out, f"results{t:06d}"), out, q)
+        sel = int(out.selected)
+        print(f"query {t}: selected candidate {sel}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="lrr_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("extract-features")
+    s.add_argument("image")
+    s.add_argument("output")
+    s.add_argument("--spacing", type=float, default=1.0)
+    s.add_argument("--resample", action="store_true")
+    s.add_argument("--max-features", type=int, default=65536)
+    s.add_argument("--min-distance", type=float, default=2.0)
+    s.add_argument("--contrast-radius", type=float, default=30.0)
+    s.set_defaults(fn=cmd_extract_features)
+
+    s = sub.add_parser("extract-keypoints")
+    s.add_argument("features")
+    s.add_argument("output")
+    s.add_argument("--min-distance", type=float, default=6.0)
+    s.add_argument("--max-keypoints", type=int, default=4096)
+    s.set_defaults(fn=cmd_extract_keypoints)
+
+    s = sub.add_parser("compute-descriptors")
+    s.add_argument("keypoints")
+    s.add_argument("features")
+    s.add_argument("output")
+    s.add_argument("--min-neighbors", type=int, default=100)
+    s.set_defaults(fn=cmd_compute_descriptors)
+
+    s = sub.add_parser("compute-distance-map")
+    s.add_argument("features")
+    s.add_argument("output")
+    s.add_argument("--spacing", type=float, default=1.0)
+    s.add_argument("--max-shape", type=int, default=512)
+    s.add_argument("--validate", action="store_true")
+    s.set_defaults(fn=cmd_compute_distance_map)
+
+    s = sub.add_parser("watershed")
+    s.add_argument("image")
+    s.add_argument("output")
+    s.add_argument("--conductance", type=float, default=2.0)
+    s.add_argument("--iterations", type=int, default=10)
+    s.add_argument("--lower", type=float, default=0.001)
+    s.add_argument("--scale", type=float, default=0.10)
+    s.set_defaults(fn=cmd_watershed)
+
+    s = sub.add_parser("indexing")
+    s.add_argument("moving")
+    s.add_argument("fixed")
+    s.add_argument("--locs")
+    s.add_argument("--query", help="x,y,z")
+    s.add_argument("--candidates", type=int, default=20)
+    s.add_argument("--out", default="matches")
+    s.set_defaults(fn=cmd_indexing)
+
+    s = sub.add_parser("register")
+    s.add_argument("moving_features")
+    s.add_argument("fixed_features")
+    s.add_argument("moving_descriptors")
+    s.add_argument("fixed_descriptors")
+    s.add_argument("--locs", required=True)
+    s.add_argument("--svm-model")
+    s.add_argument("--out", default="results")
+    s.set_defaults(fn=cmd_register)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

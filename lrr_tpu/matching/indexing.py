@@ -87,9 +87,8 @@ def _generate_one(
     near = fkp.mask & (d2q <= cfg.keypoint_radius_mm**2)
 
     # nearest `max_query_keypoints` fixed keypoints to the query
-    neg, fidx = jax.lax.top_k(
-        jnp.where(near, -d2q, -jnp.inf), cfg.max_query_keypoints
-    )
+    kq = min(cfg.max_query_keypoints, d2q.shape[0])
+    neg, fidx = jax.lax.top_k(jnp.where(near, -d2q, -jnp.inf), kq)
     valid = jnp.isfinite(neg)
 
     midx, ddist = nn_table
@@ -97,13 +96,20 @@ def _generate_one(
     cand_d = jnp.where(valid, ddist[fidx], jnp.inf)
 
     # keep top num_candidates by ascending descriptor distance (:1383)
-    negd, order = jax.lax.top_k(-cand_d, cfg.num_candidates)
+    kc = min(cfg.num_candidates, kq)
+    negd, order = jax.lax.top_k(-cand_d, kc)
     keep = jnp.isfinite(negd)
+
+    def pad(x, fill=0):
+        if kc < cfg.num_candidates:
+            return jnp.pad(x, (0, cfg.num_candidates - kc), constant_values=fill)
+        return x
+
     return CandidateSet(
-        moving_idx=cand_m[order],
-        fixed_idx=fidx[order],
-        desc_dist=-negd,
-        mask=keep,
+        moving_idx=pad(cand_m[order]),
+        fixed_idx=pad(fidx[order]),
+        desc_dist=pad(-negd, jnp.inf),
+        mask=pad(keep, False),
     )
 
 

@@ -96,3 +96,34 @@ def warp_volume(
     src_idx = (src - moving_origin) / moving_spacing
     vals, inside = sample_trilinear(moving, src_idx)
     return jnp.where(inside, vals, fill)
+
+
+def resample_isotropic(vol, spacing_mm: float = 1.0, presmooth: bool = True):
+    """Resample a volume to isotropic spacing (ExtractFeatures.cxx:183-464:
+    recursive-Gaussian presmooth at the new spacing along axes being
+    downsampled, then trilinear resample)."""
+    from lrr_tpu.ops import filters
+    from lrr_tpu.types import Volume
+
+    import numpy as np
+
+    sp = np.asarray(jax.device_get(vol.spacing), np.float64)  # (x, y, z)
+    D, H, W = vol.data.shape
+    size_mm = np.asarray([W, H, D]) * sp
+    new_dims = np.maximum(np.round(size_mm / spacing_mm).astype(int), 1)
+    data = vol.data
+    if presmooth:
+        # smooth axes that get coarser; sigma chosen so the new Nyquist is
+        # respected (ITK RecursiveGaussian presmoothing analog)
+        sigmas_vox = []
+        for ax, s in ((0, sp[2]), (1, sp[1]), (2, sp[0])):  # (z, y, x)
+            ratio = spacing_mm / s
+            sigmas_vox.append(0.5 * ratio if ratio > 1.0 else 0.0)
+        data = filters.gaussian_smooth(data, sigmas_vox)
+    out_shape = (int(new_dims[2]), int(new_dims[1]), int(new_dims[0]))
+    origin = vol.origin
+    new_spacing = jnp.asarray([spacing_mm] * 3, jnp.float32)
+    out = warp_volume(
+        data, out_shape, origin, new_spacing, lambda p: p, vol.origin, vol.spacing
+    )
+    return Volume(data=out, origin=origin, spacing=new_spacing)

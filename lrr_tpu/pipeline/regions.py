@@ -1,0 +1,66 @@
+"""Watershed-region-based feature selection.
+
+Re-implements FeaturesInRegions (rrl/itkLocationRegistration.cxx:1363-1522):
+when oversegmentation labels are available, the estimation's feature subset
+is not a plain ROI box but a union of whole watershed regions around the
+query, grown until at least `target` features are collected
+(>=1500 targeted, .cxx:1487).
+
+Vectorized formulation: gather each feature's region label from the label
+volume; compute every region's distance-to-query as the min over its
+features (a scatter-min over labels); include regions in increasing region
+distance until the cumulative feature count reaches the target — i.e. the
+inclusion threshold is the region distance of the target-th feature in
+region-distance order.  Whole regions enter or not, exactly like the
+reference's region growing.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from lrr_tpu.types import FeatureSet, Volume
+
+
+def feature_region_labels(
+    features: FeatureSet, labels: jax.Array, origin: jax.Array, spacing: jax.Array
+) -> jax.Array:
+    """Nearest-voxel gather of watershed labels at feature locations."""
+    D, H, W = labels.shape
+    gi = jnp.round((features.xyz - origin) / spacing).astype(jnp.int32)
+    x = jnp.clip(gi[:, 0], 0, W - 1)
+    y = jnp.clip(gi[:, 1], 0, H - 1)
+    z = jnp.clip(gi[:, 2], 0, D - 1)
+    return labels[z, y, x]
+
+
+def select_features_in_regions(
+    features: FeatureSet,
+    labels: jax.Array,  # int32 [D, H, W] watershed labels (flat-index values)
+    origin: jax.Array,
+    spacing: jax.Array,
+    query_xyz: jax.Array,
+    target: int,
+    max_distance_mm: float = 100.0,
+) -> jax.Array:
+    """bool [N]: features in the grown region union around the query."""
+    n_cells = labels.size
+    lab = feature_region_labels(features, labels, origin, spacing)
+
+    d = jnp.linalg.norm(features.xyz - query_xyz, axis=-1)
+    d = jnp.where(features.mask, d, jnp.inf)
+
+    # per-region min feature distance (scatter-min over label values)
+    big = jnp.asarray(jnp.inf, d.dtype)
+    region_min = jnp.full((n_cells,), big, d.dtype)
+    region_min = region_min.at[lab].min(d, mode="drop")
+    feat_region_d = region_min[lab]
+    feat_region_d = jnp.where(features.mask, feat_region_d, jnp.inf)
+
+    # threshold = region distance of the target-th feature in that order
+    k = min(target, d.shape[0])
+    sorted_rd = jnp.sort(feat_region_d)
+    tau = sorted_rd[k - 1]
+    tau = jnp.minimum(tau, max_distance_mm)
+    return features.mask & (feat_region_d <= tau)
