@@ -45,7 +45,7 @@ from flax import struct
 
 from lrr_tpu.config import EstimationConfig
 from lrr_tpu.models import Affine3D
-from lrr_tpu.models.affine import normal_equations_terms
+from lrr_tpu.models.affine import covariance_unnormalize, normal_equations_terms
 from lrr_tpu.ops import robust
 from lrr_tpu.ops.geometry import masked_mean
 from lrr_tpu.ops.voronoi import lookup
@@ -264,33 +264,6 @@ def _angle_stats(trans: Affine3D, m: Matches) -> tuple[jax.Array, jax.Array]:
     return sheet, tube
 
 
-def _covar_unnormalize(
-    cov_n: jax.Array,
-    arm: jax.Array,
-    arf: jax.Array,
-    cm: jax.Array,
-    cf: jax.Array,
-) -> jax.Array:
-    """Propagate the parameter covariance from normalized to world
-    coordinates (the analog of cdcl_trans_affine::unnormalize's B-matrix,
-    cdcl_trans_affine.txx:217-305), in theta = vec_row([A | t]) ordering.
-
-    World map:  A_w = (arf/arm) A_n,  t_w = arf t_n + cf - A_w cm.
-    """
-    s = arf / arm
-    L = jnp.zeros((12, 12), cov_n.dtype)
-    # dA_w(i,j)/dA_n(i,j) = s ; theta index of A(i,j) is 4i+j, of t_i is 4i+3
-    for i in range(3):
-        for j in range(3):
-            L = L.at[4 * i + j, 4 * i + j].set(s)
-    for i in range(3):
-        L = L.at[4 * i + 3, 4 * i + 3].set(arf)
-        # dt_w(i)/dA_n(i,j) = -s * cm[j]
-        for j in range(3):
-            L = L.at[4 * i + 3, 4 * i + j].set(-s * cm[j])
-    return L @ cov_n @ L.T
-
-
 def _estimate_ls(
     trans: Affine3D,
     fwd: Matches,
@@ -346,7 +319,7 @@ def _estimate_ls(
     theta = cov_n @ Atb
     new_n = Affine3D.from_theta(theta, jnp.zeros(3, theta.dtype))
     new_w = new_n.unnormalize(arm, arf, cm, cf)
-    cov_w = _covar_unnormalize(cov_n, arm, arf, cm, cf)
+    cov_w = covariance_unnormalize(cov_n, arm, arf, cm, cf)
     return new_w, cov_w, fwd.replace(weight=w_f), bwd.replace(weight=w_b)
 
 

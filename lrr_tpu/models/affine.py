@@ -145,6 +145,72 @@ class Affine3D(struct.PyTreeNode):
         return jnp.logical_and(jnp.all(s > lo), jnp.all(s < hi))
 
 
+def jacobian_wrt_par(trans: Affine3D, x: jax.Array) -> jax.Array:
+    """J [.., 3, 12] of y = Theta h w.r.t. theta = vec_row([A | t]):
+    J[d, 4d:4d+4] = h = [x - c, 1] (sparse structure the reference
+    hand-unrolls, rrl_estimation_symmetric_ICP_matching_all.txx:475-536)."""
+    h = trans.homogeneous(x)  # [..., 4]
+    eye = jnp.eye(3, dtype=h.dtype)
+    return jnp.einsum("de,...j->...dej", eye, h).reshape(x.shape[:-1] + (3, 12))
+
+
+def transfer_covariance(trans: Affine3D, covar: jax.Array, x: jax.Array) -> jax.Array:
+    """J C J^T [..., 3, 3] for theta-order covariance C [12, 12] — the
+    contraction exploits the block structure (h^T C_blk h per entry)."""
+    h = trans.homogeneous(x)
+    Cb = covar.reshape(3, 4, 3, 4)
+    return jnp.einsum("...j,ijkl,...l->...ik", h, Cb, h)
+
+
+def _covar_transform_matrix(s_A, s_t, c, dtype):
+    """L with dtheta_out = L dtheta_in for A_out = s_A A_in,
+    t_out = s_t t_in + const - A_out c (theta ordering)."""
+    L = jnp.zeros((12, 12), dtype)
+    for i in range(3):
+        for j in range(3):
+            L = L.at[4 * i + j, 4 * i + j].set(s_A)
+        L = L.at[4 * i + 3, 4 * i + 3].set(s_t)
+        for j in range(3):
+            L = L.at[4 * i + 3, 4 * i + j].set(-s_A * c[j])
+    return L
+
+
+def covariance_normalize(
+    cov_w: jax.Array, arm: jax.Array, arf: jax.Array,
+    cm: jax.Array, cf: jax.Array,
+) -> jax.Array:
+    """Parameter covariance world -> normalized coordinates (the covariance
+    leg of cdcl_trans_affine::normalize, cdcl_trans_affine.txx:217-255),
+    for a world transform with zero center.
+
+    A_n = (arm/arf) A_w ;  t_n = (t_w + A_w cm - cf) / arf
+    """
+    s = arm / arf
+    # t_n = (1/arf) t_w + (s/arm)*... careful: t_n = t_w/arf + A_n cm/arm - cf/arf
+    #     = (1/arf) t_w + (A_n cm)/arm - const;  dt_n/dA_n = +cm/arm
+    dtype = cov_w.dtype
+    L = jnp.zeros((12, 12), dtype)
+    for i in range(3):
+        for j in range(3):
+            L = L.at[4 * i + j, 4 * i + j].set(s)
+        L = L.at[4 * i + 3, 4 * i + 3].set(1.0 / arf)
+        for j in range(3):
+            # dt_n(i)/dA_w(i,j) = s * cm[j] / arm
+            L = L.at[4 * i + 3, 4 * i + j].set(s * cm[j] / arm)
+    return L @ cov_w @ L.T
+
+
+def covariance_unnormalize(
+    cov_n: jax.Array, arm: jax.Array, arf: jax.Array,
+    cm: jax.Array, cf: jax.Array,
+) -> jax.Array:
+    """Parameter covariance normalized -> world (inverse of
+    covariance_normalize): A_w = (arf/arm) A_n, t_w = arf t_n + cf - A_w cm."""
+    s = arf / arm
+    L = _covar_transform_matrix(s, arf, cm, cov_n.dtype)
+    return L @ cov_n @ L.T
+
+
 def normal_equations_terms(
     trans: Affine3D,
     from_xyz: jax.Array,  # [M, 3] moving points (untransformed)
