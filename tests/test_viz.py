@@ -1,0 +1,43 @@
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from lrr_tpu.models import Affine3D
+from lrr_tpu.utils.synthetic import make_pair
+from lrr_tpu.viz import checkerboard_panels, save_png, slice_panel
+
+
+class TestViz:
+    def test_png_roundtrip_magic(self, tmp_path, rng):
+        img = rng.integers(0, 255, (32, 48)).astype(np.uint8)
+        p = str(tmp_path / "x.png")
+        save_png(p, img)
+        with open(p, "rb") as f:
+            data = f.read()
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        assert b"IHDR" in data and b"IEND" in data
+
+    def test_slice_panel_shape(self):
+        fixed, moving, true = make_pair((32, 32, 32), seed=4)
+        panel = slice_panel(fixed, [16.0, 16.0, 16.0], axis=2, resolution=64)
+        assert panel.shape == (64, 64)
+        assert np.isfinite(panel).all()
+
+    def test_checkerboard_panels_aligned_vs_not(self, tmp_path):
+        fixed, moving, true = make_pair(
+            (32, 32, 32), rotation_deg=5.0, translation=(3.0, 1.0, -2.0), seed=4
+        )
+        q = [16.0, 16.0, 16.0]
+        good = checkerboard_panels(fixed, moving, true, q, resolution=64)
+        ident = checkerboard_panels(fixed, moving, Affine3D.identity(), q, resolution=64)
+        assert good.shape == (192, 192)
+        # a correct transform should produce lower checker discontinuity than
+        # identity: compare gradient energy of the checker column
+        def energy(p):
+            c = p[:, 128:]
+            return np.abs(np.diff(c, axis=0)).mean() + np.abs(np.diff(c, axis=1)).mean()
+
+        assert energy(good) < energy(ident)
+        save_png(str(tmp_path / "panels.png"), good)
+        assert os.path.getsize(str(tmp_path / "panels.png")) > 100
