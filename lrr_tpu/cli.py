@@ -229,6 +229,139 @@ def cmd_register(args):
         print(f"query {t}: selected candidate {sel}")
 
 
+def cmd_estimate(args):
+    """Point-set estimation demo (cdcl/examples/estimate.cxx): raw point
+    files, selectable model and method."""
+    import jax
+    import jax.numpy as jnp
+
+    from lrr_tpu.estimation.cdc import CovFeatures, run_cdc
+    from lrr_tpu.estimation.icp_classic import icp_classic
+    from lrr_tpu.models import Affine3D
+
+    def load_pts(path):
+        pts = np.loadtxt(path, dtype=np.float32)
+        if pts.ndim == 1:
+            pts = pts[None]
+        return pts[:, :3]
+
+    mov = load_pts(args.moving)
+    fix = load_pts(args.fixed)
+    init = Affine3D.identity()
+
+    if args.method == "icp":
+        res = icp_classic(
+            jnp.asarray(mov), jnp.ones(len(mov), bool),
+            jnp.asarray(fix), jnp.ones(len(fix), bool), init,
+        )
+        trans = res.trans
+        print(f"converged={bool(res.converged)} rms={float(res.rms):.4f}")
+    else:
+        iso = args.feature_cov * np.eye(3, dtype=np.float32)
+        mv = CovFeatures(
+            jnp.asarray(mov), jnp.broadcast_to(jnp.asarray(iso), (len(mov), 3, 3)),
+            jnp.ones(len(mov), bool),
+        )
+        fx = CovFeatures(
+            jnp.asarray(fix), jnp.broadcast_to(jnp.asarray(iso), (len(fix), 3, 3)),
+            jnp.ones(len(fix), bool),
+        )
+        state = run_cdc(
+            mv, fx, init,
+            use_transfer="transfer" in args.method,
+            symmetric="symmetric" in args.method,
+            max_iterations=args.iterations,
+        )
+        trans = state.trans
+        print(f"converged={bool(state.converged)} iterations={int(state.iteration)}")
+
+    p = np.asarray(trans.params_reference_order())
+    print("A (row-major):", " ".join(f"{v:.6g}" for v in p[:9]))
+    print("t:", " ".join(f"{v:.6g}" for v in p[9:]))
+    if args.output:
+        np.savetxt(args.output, p[None])
+
+
+def cmd_repeatability(args):
+    import jax.numpy as jnp
+
+    from lrr_tpu.eval import feature_repeatability
+    from lrr_tpu.io import read_features
+    from lrr_tpu.models import Affine3D
+
+    fixed = read_features(args.fixed)
+    moving = read_features(args.moving)
+    if args.transform:
+        p = np.loadtxt(args.transform, dtype=np.float32).reshape(-1)
+        tr = Affine3D.from_params_reference_order(jnp.asarray(p), jnp.zeros(3))
+        gt = tr.apply
+    else:
+        gt = lambda x: x
+    res = feature_repeatability(
+        fixed, moving, gt, dist_mm=args.dist, angle_deg=args.angle
+    )
+    print(
+        f"repeatable: {float(res.fraction_repeatable):.4f} "
+        f"(distance-only: {float(res.fraction_distance_ok):.4f}, "
+        f"n={int(res.n_evaluated)})"
+    )
+
+
+def cmd_compare_descriptors(args):
+    from lrr_tpu.eval import compare_descriptor_sets
+    from lrr_tpu.io import read_descriptors
+
+    a = read_descriptors(args.a)
+    b = read_descriptors(args.b)
+    res = compare_descriptor_sets(a, b, args.tol)
+    print(
+        f"pairs={int(res.n_pairs)} mean={float(res.mean_distance):.5f} "
+        f"median={float(res.median_distance):.5f} max={float(res.max_distance):.5f}"
+    )
+
+
+def cmd_panels(args):
+    import jax.numpy as jnp
+
+    from lrr_tpu.models import Affine3D
+    from lrr_tpu.viz import checkerboard_panels, save_png
+
+    fixed = _load_volume(args.fixed)
+    moving = _load_volume(args.moving)
+    if args.transform:
+        p = np.loadtxt(args.transform, dtype=np.float32).reshape(-1)
+        tr = Affine3D.from_params_reference_order(jnp.asarray(p), jnp.zeros(3))
+    else:
+        tr = Affine3D.identity()
+    q = [float(v) for v in args.query.split(",")]
+    panels = checkerboard_panels(fixed, moving, tr, q, args.extent)
+    save_png(args.output, panels)
+    print(f"panels written to {args.output}")
+
+
+def cmd_batch(args):
+    from lrr_tpu.config import PipelineConfig
+    from lrr_tpu.pipeline.batch import load_pair_list, run_batch
+    from lrr_tpu.verify import parse_libsvm_model
+    from lrr_tpu.verify.svm import SvmModel
+
+    jobs = load_pair_list(args.pairs)
+    if args.svm_model:
+        with open(args.svm_model) as f:
+            svm = parse_libsvm_model(f.read())
+    else:
+        svm = SvmModel(
+            gamma=0.1, rho=-1.0,
+            sv=np.zeros((1, 8), np.float32), sv_coef=np.zeros(1, np.float32),
+            prob_a=-1.0, prob_b=0.0,
+        )
+    report = run_batch(jobs, PipelineConfig(), svm, args.out)
+    print(
+        f"completed={report['completed']} failed={report['failed']} "
+        f"skipped={report['skipped']}"
+    )
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="lrr_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -292,6 +425,48 @@ def main(argv=None):
     s.add_argument("--svm-model")
     s.add_argument("--out", default="results")
     s.set_defaults(fn=cmd_register)
+
+    s = sub.add_parser("estimate")
+    s.add_argument("moving")
+    s.add_argument("fixed")
+    s.add_argument(
+        "--method",
+        choices=["icp", "cdc", "cdc-transfer", "cdc-symmetric", "cdc-symmetric-transfer"],
+        default="icp",
+    )
+    s.add_argument("--iterations", type=int, default=30)
+    s.add_argument("--feature-cov", type=float, default=0.5)
+    s.add_argument("--output")
+    s.set_defaults(fn=cmd_estimate)
+
+    s = sub.add_parser("repeatability")
+    s.add_argument("fixed")
+    s.add_argument("moving")
+    s.add_argument("--transform", help="file with 12 params [A row-major, t]")
+    s.add_argument("--dist", type=float, default=2.0)
+    s.add_argument("--angle", type=float, default=20.0)
+    s.set_defaults(fn=cmd_repeatability)
+
+    s = sub.add_parser("compare-descriptors")
+    s.add_argument("a")
+    s.add_argument("b")
+    s.add_argument("--tol", type=float, default=1.0)
+    s.set_defaults(fn=cmd_compare_descriptors)
+
+    s = sub.add_parser("panels")
+    s.add_argument("fixed")
+    s.add_argument("moving")
+    s.add_argument("output")
+    s.add_argument("--query", required=True, help="x,y,z")
+    s.add_argument("--transform")
+    s.add_argument("--extent", type=float, default=25.0)
+    s.set_defaults(fn=cmd_panels)
+
+    s = sub.add_parser("batch")
+    s.add_argument("pairs", help="pairs list: name moving fixed [locs.txt]")
+    s.add_argument("--out", default="batch_out")
+    s.add_argument("--svm-model")
+    s.set_defaults(fn=cmd_batch)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -278,16 +278,43 @@ def detect_features_level(
     contrast_radius_mm: float = 30.0,
 ) -> FeatureSet:
     """Run the detector at one pyramid level; returns a FeatureSet with
-    capacity `max_candidates` (invalid entries masked)."""
-    spacing = vol.spacing
-    sigma_vox = sigma_mm / np.asarray(jax.device_get(spacing), np.float64)
-    # gradient axes are (z, y, x) storage; sigma per storage axis
-    grad = filters.gaussian_gradient(
-        vol.data, sigma_vox[::-1], jax.device_get(spacing)
+    capacity `max_candidates` (invalid entries masked).
+
+    Host/device split: spacing determines static kernel sizes, so it is
+    read on host here and the whole level runs as ONE jitted program
+    (cached per (shape, spacing, config))."""
+    spacing_t = tuple(float(x) for x in np.asarray(jax.device_get(vol.spacing)))
+    return _detect_level_jit(
+        vol.data,
+        vol.origin,
+        spacing_t=spacing_t,
+        sigma_mm=float(sigma_mm),
+        max_candidates=int(max_candidates),
+        contrast_radius_mm=float(contrast_radius_mm),
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spacing_t", "sigma_mm", "max_candidates", "contrast_radius_mm"),
+)
+def _detect_level_jit(
+    data: jax.Array,
+    origin: jax.Array,
+    *,
+    spacing_t: tuple,
+    sigma_mm: float,
+    max_candidates: int,
+    contrast_radius_mm: float,
+) -> FeatureSet:
+    spacing = jnp.asarray(spacing_t, data.dtype)
+    vol = Volume(data=data, origin=origin, spacing=spacing)
+    sigma_vox = sigma_mm / np.asarray(spacing_t, np.float64)
+    # gradient axes are (z, y, x) storage; sigma per storage axis
+    grad = filters.gaussian_gradient(vol.data, sigma_vox[::-1], spacing_t)
     score, outer6 = _score_and_outer(grad)
 
-    min_sp = float(np.min(np.asarray(jax.device_get(spacing))))
+    min_sp = float(min(spacing_t))
     radius_vox = int(round(contrast_radius_mm / max(min_sp, 1e-6)))
     keep = contrast_keep_mask(score, jnp.ones_like(score, bool), radius_vox)
 
@@ -366,19 +393,37 @@ def detect_features(vol: Volume, cfg: FeatureConfig) -> FeatureSet:
     Pyramid levels follow the reference's use of levels 1-2 of 3 (shrink
     factors 2 and 1; itkFeatureImageFilter.txx:1119-1137); features from all
     levels merge before the 2 mm strength-greedy spatial filter
-    (ExtractFeatures.cxx:483-488)."""
+    (ExtractFeatures.cxx:483-488).
+
+    Spacing is read on host (it fixes static kernel sizes); the entire
+    multi-level detection + sparsification runs as ONE jitted program,
+    cached per (shape, spacing, config).
+    """
+    spacing_t = tuple(float(x) for x in np.asarray(jax.device_get(vol.spacing)))
+    return _detect_features_jit(vol.data, vol.origin, spacing_t=spacing_t, cfg=cfg)
+
+
+@partial(jax.jit, static_argnames=("spacing_t", "cfg"))
+def _detect_features_jit(
+    data: jax.Array, origin: jax.Array, *, spacing_t: tuple, cfg: FeatureConfig
+) -> FeatureSet:
     level_sets = []
     per_level_cap = cfg.max_features
     shrink_by_level = {0: 4, 1: 2, 2: 1}
     for level in cfg.used_levels:
-        v = vol
+        d, sp = data, spacing_t
         shrink = shrink_by_level.get(level, 1)
         while shrink > 1:
-            v = downsampled(v)
+            d = filters.downsample2(d)
+            sp = tuple(2.0 * x for x in sp)
             shrink //= 2
         level_sets.append(
-            detect_features_level(
-                v, cfg.sigma, per_level_cap, cfg.contrast_radius_mm
+            _detect_level_jit(
+                d, origin,
+                spacing_t=sp,
+                sigma_mm=float(cfg.sigma),
+                max_candidates=per_level_cap,
+                contrast_radius_mm=float(cfg.contrast_radius_mm),
             )
         )
     merged = level_sets[0]

@@ -18,6 +18,7 @@ compute_distance_map.cxx:37-138).
 from __future__ import annotations
 
 import math
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +53,7 @@ def _shift(arr: jax.Array, dz: int, dy: int, dx: int, fill) -> jax.Array:
     return out
 
 
+@partial(jax.jit, static_argnames=("shape_zyx", "extra_passes"))
 def voronoi_map(
     xyz: jax.Array,  # [N, 3] feature locations (physical)
     mask: jax.Array,  # [N]

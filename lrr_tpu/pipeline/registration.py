@@ -81,18 +81,28 @@ class LocationResult(struct.PyTreeNode):
     query_mapped: jax.Array  # [C, 3] query mapped to moving space
 
 
+@partial(jax.jit, static_argnames=("kcfg",))
+def _keypoints_jit(fs, kcfg):
+    return extract_keypoints(fs, kcfg)
+
+
+@partial(jax.jit, static_argnames=("dcfg",))
+def _descriptors_jit(kp, fs, dcfg):
+    return compute_descriptors(kp, fs, dcfg)
+
+
 def prepare_pair(
     moving: Volume, fixed: Volume, cfg: PipelineConfig
 ) -> PairContext:
     """Stage 1 for both volumes: features, keypoints, descriptors, Voronoi
     maps (ExtractFeatures + ExtractKeypoints + ComputeDescriptors +
-    compute_distance_map)."""
+    compute_distance_map).  Each stage runs as one jitted program."""
     fs_m = detect_features(moving, cfg.features)
     fs_f = detect_features(fixed, cfg.features)
-    kp_m = extract_keypoints(fs_m, cfg.keypoints)
-    kp_f = extract_keypoints(fs_f, cfg.keypoints)
-    ds_m = compute_descriptors(kp_m, fs_m, cfg.descriptors)
-    ds_f = compute_descriptors(kp_f, fs_f, cfg.descriptors)
+    kp_m = _keypoints_jit(fs_m, cfg.keypoints)
+    kp_f = _keypoints_jit(fs_f, cfg.keypoints)
+    ds_m = _descriptors_jit(kp_m, fs_m, cfg.descriptors)
+    ds_f = _descriptors_jit(kp_f, fs_f, cfg.descriptors)
     mv = VoronoiGrid(*build_feature_voronoi(fs_m.xyz, fs_m.mask))
     fv = VoronoiGrid(*build_feature_voronoi(fs_f.xyz, fs_f.mask))
     return PairContext(
