@@ -104,6 +104,15 @@ def main():
     if platform:
         jax.config.update("jax_platforms", platform)
 
+    # persistent compilation cache: compiles dominate wall-clock through the
+    # remote-compile tunnel; cache them across runs
+    try:
+        cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     size = int(os.environ.get("BENCH_SIZE", "64"))
     n_queries = int(os.environ.get("BENCH_QUERIES", "4"))
     reps = int(os.environ.get("BENCH_REPS", "3"))

@@ -99,10 +99,6 @@ class _Carry(NamedTuple):
     covar: jax.Array
     weighted_error: jax.Array
     we_bwd: jax.Array
-    sheet_f: jax.Array
-    tube_f: jax.Array
-    sheet_b: jax.Array
-    tube_b: jax.Array
     error_difference: jax.Array
     oscillation_count: jax.Array
     number_matches: jax.Array
@@ -128,6 +124,17 @@ def _mad_scale_dof(values: jax.Array, mask: jax.Array) -> jax.Array:
     return 1.4826 * (1.0 + 5.0 / nf) * med
 
 
+def _source_permutation(key: jax.Array, mask: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """One random permutation of the valid source indices (valid first).
+    Computed once per candidate; per-iteration subsets are rolling windows
+    of it (see _sample_matches)."""
+    n = mask.shape[0]
+    scores = jnp.where(mask, jax.random.uniform(key, (n,)), jnp.inf)
+    order = jnp.argsort(scores)
+    valid_count = jnp.sum(mask.astype(jnp.int32))
+    return order, valid_count
+
+
 def _sample_matches(
     key: jax.Array,
     src: FeatureSet,
@@ -136,16 +143,34 @@ def _sample_matches(
     trans: Affine3D,
     number: jax.Array,
     cap: int,
+    perm: tuple[jax.Array, jax.Array] | None = None,
+    lean: bool = False,
+    with_from_projector: bool = True,
 ) -> Matches:
     """Random subsample of `number` source points, matched by Voronoi gather
-    (find_closest_euclidean, rrl_estimation_ICP_matching_all.txx:494-571)."""
+    (find_closest_euclidean, rrl_estimation_ICP_matching_all.txx:494-571).
+
+    The reference reshuffles every iteration; sorting 8k keys inside the
+    while_loop dominated TPU time, so the permutation is computed once per
+    candidate and each iteration takes a randomly-offset cyclic window of it
+    — marginally the same uniform without-replacement subset.
+
+    lean=True skips the direction/shape row gathers (only needed for the
+    post-loop angle statistics); with_from_projector=False also skips the
+    source-side projector (only the backward direction consumes it).
+    Gather traffic is the iteration's dominant cost on TPU."""
     n = src.capacity
     cap = min(cap, n)
-    scores = jax.random.uniform(key, (n,))
-    scores = jnp.where(src.mask, scores, jnp.inf)
-    order = jnp.argsort(scores)
-    idx = order[:cap]
-    rank_ok = jnp.arange(cap) < number
+    if perm is None:
+        order_all, valid_count = _source_permutation(key, src.mask)
+        idx = order_all[:cap]
+        rank_ok = jnp.arange(cap) < number
+    else:
+        order_all, valid_count = perm
+        offset = jax.random.randint(key, (), 0, jnp.maximum(valid_count, 1))
+        pos = jnp.remainder(offset + jnp.arange(cap), jnp.maximum(valid_count, 1))
+        idx = order_all[pos]
+        rank_ok = jnp.arange(cap) < jnp.minimum(number, valid_count)
     sel = rank_ok & src.mask[idx]
 
     from_xyz = src.xyz[idx]
@@ -154,16 +179,18 @@ def _sample_matches(
     ok = sel & (nn >= 0)
     nn = jnp.maximum(nn, 0)
 
+    zero33 = jnp.zeros((cap, 3, 3), from_xyz.dtype)
+    zero_i = jnp.zeros((cap,), jnp.int32)
     return Matches(
         from_xyz=from_xyz,
         from_strength=src.strength[idx],
-        from_shape=src.shape[idx],
-        from_dirs=src.directions[idx],
-        from_projector=src.projector[idx],
+        from_shape=zero_i if lean else src.shape[idx],
+        from_dirs=zero33 if lean else src.directions[idx],
+        from_projector=src.projector[idx] if with_from_projector else zero33,
         to_xyz=dst.xyz[nn],
         to_strength=dst.strength[nn],
-        to_shape=dst.shape[nn],
-        to_dirs=dst.directions[nn],
+        to_shape=zero_i if lean else dst.shape[nn],
+        to_dirs=zero33 if lean else dst.directions[nn],
         to_projector=dst.projector[nn],
         weight=jnp.where(ok, 1.0, 0.0),
         mask=ok & dst.mask[nn],
@@ -334,6 +361,10 @@ def register_candidate(
 ) -> ICPResult:
     """Run the full symmetric robust ICP from one initialization."""
 
+    key, kpm, kpf = jax.random.split(key, 3)
+    perm_m = _source_permutation(kpm, moving.mask)
+    perm_f = _source_permutation(kpf, fixed.mask)
+
     def cond(c: _Carry):
         # the driver aborts a candidate whose transform leaves the singular
         # value sanity bounds (itkLocationRegistration.cxx:2482,2914-2926)
@@ -345,11 +376,12 @@ def register_candidate(
         weighted_error_before = c.weighted_error
 
         fwd = _sample_matches(
-            kf, moving, fixed, fixed_vor, c.trans, c.number_matches, cfg.max_matches
+            kf, moving, fixed, fixed_vor, c.trans, c.number_matches,
+            cfg.max_matches, perm=perm_m, lean=True, with_from_projector=False,
         )
         bwd = _sample_matches(
             kb, fixed, moving, moving_vor, c.trans.inverse(), c.number_matches,
-            cfg.max_matches,
+            cfg.max_matches, perm=perm_f, lean=True, with_from_projector=True,
         )
 
         use_muse = ~c.scale_estimated
@@ -357,8 +389,6 @@ def register_candidate(
 
         we_after = _weighted_error(new_trans, fwd_w)
         we_bwd = _weighted_error(new_trans.inverse(), bwd_w)
-        sheet_f, tube_f = _angle_stats(new_trans, fwd_w)
-        sheet_b, tube_b = _angle_stats(new_trans.inverse(), bwd_w)
 
         curr_diff = we_after - weighted_error_before
         rate = curr_diff / jnp.where(we_after == 0, 1e-30, we_after)
@@ -404,10 +434,6 @@ def register_candidate(
             covar=cov_w,
             weighted_error=we_after,
             we_bwd=we_bwd,
-            sheet_f=sheet_f,
-            tube_f=tube_f,
-            sheet_b=sheet_b,
-            tube_b=tube_b,
             error_difference=new_err_diff,
             oscillation_count=osc_new,
             number_matches=new_number,
@@ -425,10 +451,6 @@ def register_candidate(
         covar=jnp.zeros((12, 12), dtype),
         weighted_error=jnp.asarray(0.0, dtype),
         we_bwd=jnp.asarray(0.0, dtype),
-        sheet_f=jnp.asarray(0.0, dtype),
-        tube_f=jnp.asarray(0.0, dtype),
-        sheet_b=jnp.asarray(0.0, dtype),
-        tube_b=jnp.asarray(0.0, dtype),
         error_difference=jnp.asarray(0.0, dtype),
         oscillation_count=jnp.asarray(0, jnp.int32),
         number_matches=jnp.asarray(cfg.initial_matches, jnp.int32),
@@ -441,6 +463,25 @@ def register_candidate(
     )
     c = jax.lax.while_loop(cond, body, c0)
 
+    # final angle statistics from one full-payload weighted pass at the
+    # final transform (the reference reads them off the last iteration's
+    # matches; a fresh sample at the same state is statistically identical
+    # and keeps direction/shape gathers out of the hot loop)
+    ks_f, ks_b = jax.random.split(c.key)
+    fwd_s = _sample_matches(
+        ks_f, moving, fixed, fixed_vor, c.trans, c.number_matches,
+        cfg.max_matches, perm=perm_m,
+    )
+    bwd_s = _sample_matches(
+        ks_b, fixed, moving, moving_vor, c.trans.inverse(), c.number_matches,
+        cfg.max_matches, perm=perm_f,
+    )
+    _, _, fwd_w, bwd_w = _estimate_ls(
+        c.trans, fwd_s, bwd_s, jnp.asarray(False), cfg
+    )
+    sheet_f, tube_f = _angle_stats(c.trans, fwd_w)
+    sheet_b, tube_b = _angle_stats(c.trans.inverse(), bwd_w)
+
     return ICPResult(
         trans=c.trans,
         covar=c.covar,
@@ -450,9 +491,9 @@ def register_candidate(
         iterations=c.iteration,
         weighted_error=c.weighted_error,
         weighted_error_backward=c.we_bwd,
-        sheet_angles=c.sheet_f,
-        tube_angles=c.tube_f,
-        sheet_angles_backward=c.sheet_b,
-        tube_angles_backward=c.tube_b,
+        sheet_angles=sheet_f,
+        tube_angles=tube_f,
+        sheet_angles_backward=sheet_b,
+        tube_angles_backward=tube_b,
         number_matches=c.number_matches,
     )

@@ -140,9 +140,14 @@ class Affine3D(struct.PyTreeNode):
 
     def is_valid(self, lo: float = 0.1, hi: float = 10.0) -> jax.Array:
         """Sanity bounds on singular values
-        (rrl/itkLocationRegistration.cxx:2914-2926)."""
-        s = self.singular_values()
-        return jnp.logical_and(jnp.all(s > lo), jnp.all(s < hi))
+        (rrl/itkLocationRegistration.cxx:2914-2926).  Singular values are
+        obtained closed-form from eig(A^T A) — iterative SVD is slow on TPU
+        and this check runs every ICP iteration."""
+        from lrr_tpu.ops.eig3 import eigvalsh3
+
+        w = eigvalsh3((self.A.T @ self.A)[None])[0]
+        w = jnp.maximum(w, 0.0)
+        return jnp.logical_and(w[0] > lo * lo, w[2] < hi * hi)
 
 
 def jacobian_wrt_par(trans: Affine3D, x: jax.Array) -> jax.Array:

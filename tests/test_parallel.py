@@ -1,0 +1,100 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from lrr_tpu.models import Affine3D
+from lrr_tpu.models.affine import normal_equations_terms
+from lrr_tpu.parallel import (
+    distributed_normal_equations,
+    make_mesh,
+    shard_candidates,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8)
+
+
+class TestMesh:
+    def test_shape(self, mesh):
+        assert mesh.devices.shape == (2, 4)
+        assert mesh.axis_names == ("dp", "mp")
+
+    def test_explicit_dp(self):
+        m = make_mesh(8, dp=4)
+        assert m.devices.shape == (4, 2)
+
+
+class TestDistributedNormalEquations:
+    def test_matches_single_device(self, mesh, rng):
+        M = 128 * 4
+        trans = Affine3D.identity()
+        from_xyz = jnp.asarray(rng.uniform(0, 50, (M, 3)).astype(np.float32))
+        to_xyz = from_xyz + jnp.asarray([1.0, -0.5, 0.25])
+        proj = jnp.broadcast_to(jnp.eye(3), (M, 3, 3))
+        w = jnp.asarray(rng.uniform(0.1, 1.0, M).astype(np.float32))
+
+        want_AtA, want_Atb = normal_equations_terms(trans, from_xyz, to_xyz, proj, w)
+
+        spec = NamedSharding(mesh, P("mp"))
+        AtA, Atb = distributed_normal_equations(
+            mesh,
+            trans,
+            jax.device_put(from_xyz, spec),
+            jax.device_put(to_xyz, spec),
+            jax.device_put(proj, spec),
+            jax.device_put(w, spec),
+        )
+        np.testing.assert_allclose(np.asarray(AtA), np.asarray(want_AtA), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(Atb), np.asarray(want_Atb), rtol=1e-4)
+
+    def test_solution_correct(self, mesh, rng):
+        M = 128 * 4
+        true = Affine3D(
+            A=jnp.eye(3) + 0.01 * jnp.asarray(rng.standard_normal((3, 3)).astype(np.float32)),
+            t=jnp.asarray([2.0, 1.0, -1.0]),
+            center=jnp.zeros(3),
+        )
+        from_xyz = jnp.asarray(rng.uniform(0, 50, (M, 3)).astype(np.float32))
+        to_xyz = true.apply(from_xyz)
+        proj = jnp.broadcast_to(jnp.eye(3), (M, 3, 3))
+        w = jnp.ones(M)
+        spec = NamedSharding(mesh, P("mp"))
+        AtA, Atb = distributed_normal_equations(
+            mesh, Affine3D.identity(),
+            jax.device_put(from_xyz, spec), jax.device_put(to_xyz, spec),
+            jax.device_put(proj, spec), jax.device_put(w, spec),
+        )
+        theta = jnp.linalg.solve(AtA + 1e-6 * jnp.eye(12), Atb)
+        est = Affine3D.from_theta(theta, jnp.zeros(3))
+        np.testing.assert_allclose(np.asarray(est.A), np.asarray(true.A), atol=1e-3)
+
+
+class TestShardCandidates:
+    def test_placement(self, mesh, rng):
+        x = jnp.asarray(rng.standard_normal((8, 5)).astype(np.float32))
+        sharded = shard_candidates(mesh, x)
+        assert len(sharded.sharding.device_set) == 8
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(x))
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import __graft_entry__ as g
+
+        fn, args = g.entry()
+        out = jax.jit(fn)(*args)
+        jax.block_until_ready(out)
+        assert np.isfinite(np.asarray(out.trans.t)).all()
+
+    def test_dryrun_multichip(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)
