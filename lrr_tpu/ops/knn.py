@@ -10,10 +10,29 @@ reference's bounded-leaf search was approximate.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+
+def _pallas_mode() -> str | None:
+    """Dispatch policy for the Pallas k-NN kernel.
+
+    auto (default): compiled Pallas on TPU, XLA elsewhere.  LRR_PALLAS=0
+    forces XLA, =1 forces compiled Pallas, =interp forces interpret mode
+    (CPU debugging).  Measured on v5e: 1.2x (k=1) to 3.45x (k=20) over the
+    XLA top_k path at 2048x2048x195.
+    """
+    env = os.environ.get("LRR_PALLAS", "auto")
+    if env == "0":
+        return None
+    if env == "interp":
+        return "interp"
+    if env == "1" or jax.default_backend() == "tpu":
+        return "on"
+    return None
 
 
 def knn(
@@ -25,6 +44,14 @@ def knn(
 ) -> tuple[jax.Array, jax.Array]:
     """Exact k-NN by squared L2.  Returns (sq_dists [Q, k], indices [Q, k]);
     masked points never match (distance +inf)."""
+    mode = _pallas_mode()
+    if mode is not None and k <= 128:
+        from lrr_tpu.ops.pallas_kernels import knn_pallas
+
+        d2, idx = knn_pallas(
+            queries, points, point_mask, k, interpret=(mode == "interp")
+        )
+        return d2.astype(queries.dtype), idx
     Q = queries.shape[0]
     pad = (-Q) % query_chunk
     q = jnp.concatenate(
