@@ -26,9 +26,11 @@ import numpy as np
 
 
 def _load_volume(path):
-    from lrr_tpu.io.mhd import read_mhd_volume
+    """MetaImage file or DICOM series directory (the reference's dual
+    ingest, ExtractFeatures.cxx:88-172)."""
+    from lrr_tpu.io.dicom import read_volume_any
 
-    return read_mhd_volume(path)
+    return read_volume_any(path)
 
 
 def cmd_extract_features(args):
@@ -362,6 +364,101 @@ def cmd_batch(args):
     )
 
 
+def cmd_crop_volume(args):
+    """features/CropDicom.cxx: crop a sub-volume by voxel start/size."""
+    import jax.numpy as jnp
+
+    from lrr_tpu.io.dicom import write_dicom_series
+    from lrr_tpu.io.mhd import write_mhd
+
+    vol = _load_volume(args.image)
+    i0, j0, k0 = (int(v) for v in args.start.split(","))
+    di, dj, dk = (int(v) for v in args.size.split(","))
+    nz, ny, nx = vol.data.shape
+    i0, j0, k0 = max(i0, 0), max(j0, 0), max(k0, 0)
+    data = vol.data[k0 : min(k0 + dk, nz), j0 : min(j0 + dj, ny), i0 : min(i0 + di, nx)]
+    origin = vol.origin + vol.spacing * jnp.asarray([i0, j0, k0], vol.origin.dtype)
+    out = vol.replace(data=data, origin=origin)
+    if os.path.splitext(args.output)[1].lower() in (".mhd", ".mha"):
+        write_mhd(args.output, np.asarray(out.data), np.asarray(out.origin), np.asarray(out.spacing))
+    else:
+        write_dicom_series(args.output, out)
+    print(f"cropped {tuple(int(v) for v in data.shape)} -> {args.output}")
+
+
+def cmd_extract_slice(args):
+    """features/ExtractSlice.cxx: ROI slice around a location, as PNG."""
+    import jax.numpy as jnp
+
+    from lrr_tpu.viz.panels import save_png, slice_panel
+
+    vol = _load_volume(args.image)
+    q = [float(v) for v in args.location.split(",")]
+    axis = {"axial": 2, "coronal": 1, "sagittal": 0}[args.axis]
+    arr = slice_panel(vol, jnp.asarray(q, jnp.float32), axis, args.extent)
+    lo, hi = np.percentile(arr, [1, 99])
+    arr8 = np.clip((arr - lo) / max(hi - lo, 1e-6) * 255, 0, 255).astype(np.uint8)
+    save_png(args.output, arr8)
+    print(f"{args.axis} slice at {q} written to {args.output}")
+
+
+def cmd_svm_scale(args):
+    """libsvm/svm-scale.cpp: fit or apply a [-1,1] per-feature rescale."""
+    from lrr_tpu.io.svmlight import (
+        apply_scale, fit_scale, read_range_file, read_svmlight,
+        write_range_file, write_svmlight,
+    )
+
+    x, y = read_svmlight(args.data)
+    if args.restore:
+        rng = read_range_file(args.restore)
+    else:
+        rng = fit_scale(x, args.lower, args.upper)
+        if args.save:
+            write_range_file(args.save, rng)
+    write_svmlight(args.output, apply_scale(x, rng), y)
+    print(f"scaled {x.shape[0]} rows -> {args.output}")
+
+
+def cmd_svm_train(args):
+    """libsvm/svm-train.cpp: fit the RBF verifier, write libsvm model."""
+    from lrr_tpu.io.svmlight import read_svmlight
+    from lrr_tpu.verify import fit_rbf_classifier
+    from lrr_tpu.verify.svm import serialize_libsvm_model
+
+    x, y = read_svmlight(args.data)
+    model = fit_rbf_classifier(
+        x, (y > 0).astype(np.float32), gamma=args.gamma, steps=args.steps
+    )
+    with open(args.model, "w") as f:
+        f.write(serialize_libsvm_model(model))
+    print(f"trained on {x.shape[0]} rows -> {args.model}")
+
+
+def cmd_svm_predict(args):
+    """libsvm/svm-predict.cpp: predict labels (+probability) for a file."""
+    import jax.numpy as jnp
+
+    from lrr_tpu.io.svmlight import read_svmlight
+    from lrr_tpu.verify import parse_libsvm_model, predict_probability
+
+    x, y = read_svmlight(args.data)
+    with open(args.model) as f:
+        model = parse_libsvm_model(f.read())
+    probs = np.asarray(predict_probability(model, jnp.asarray(x)))
+    pred = (probs > 0.5).astype(np.float32)
+    with open(args.output, "w") as f:
+        if args.probability:
+            f.write("labels 1 0\n")
+            for p_ in probs:
+                f.write(f"{1.0 if p_ > 0.5 else 0.0:g} {p_:.6g} {1-p_:.6g}\n")
+        else:
+            for v in pred:
+                f.write(f"{v:g}\n")
+    acc = float(np.mean(pred == (y > 0)))
+    print(f"Accuracy = {acc*100:.4f}% ({int(acc*len(y))}/{len(y)})")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="lrr_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -467,6 +564,44 @@ def main(argv=None):
     s.add_argument("--out", default="batch_out")
     s.add_argument("--svm-model")
     s.set_defaults(fn=cmd_batch)
+
+    s = sub.add_parser("crop-volume")
+    s.add_argument("image", help="mhd/mha file or DICOM directory")
+    s.add_argument("output", help=".mhd/.mha file or DICOM output directory")
+    s.add_argument("--start", required=True, help="i,j,k voxel start")
+    s.add_argument("--size", required=True, help="di,dj,dk voxel size")
+    s.set_defaults(fn=cmd_crop_volume)
+
+    s = sub.add_parser("extract-slice")
+    s.add_argument("image")
+    s.add_argument("output", help="PNG path")
+    s.add_argument("--location", required=True, help="x,y,z in mm")
+    s.add_argument("--axis", choices=["axial", "coronal", "sagittal"], default="axial")
+    s.add_argument("--extent", type=float, default=25.0)
+    s.set_defaults(fn=cmd_extract_slice)
+
+    s = sub.add_parser("svm-scale")
+    s.add_argument("data")
+    s.add_argument("output")
+    s.add_argument("-l", "--lower", type=float, default=-1.0)
+    s.add_argument("-u", "--upper", type=float, default=1.0)
+    s.add_argument("-s", "--save", help="save range file")
+    s.add_argument("-r", "--restore", help="restore range file")
+    s.set_defaults(fn=cmd_svm_scale)
+
+    s = sub.add_parser("svm-train")
+    s.add_argument("data")
+    s.add_argument("model")
+    s.add_argument("-g", "--gamma", type=float, default=0.125)
+    s.add_argument("--steps", type=int, default=500)
+    s.set_defaults(fn=cmd_svm_train)
+
+    s = sub.add_parser("svm-predict")
+    s.add_argument("data")
+    s.add_argument("model")
+    s.add_argument("output")
+    s.add_argument("-b", "--probability", action="store_true")
+    s.set_defaults(fn=cmd_svm_predict)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -98,3 +98,54 @@ class TestGraftEntry:
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)
+
+
+class TestSpatialSharding:
+    def test_sharded_score_matches_single_device(self, rng):
+        from jax.sharding import Mesh
+        from lrr_tpu.features.extract import _score_and_outer
+        from lrr_tpu.ops import filters
+        from lrr_tpu.parallel import sharded_feature_score
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("sp",))
+
+        vol = jnp.asarray(rng.standard_normal((64, 24, 24)), jnp.float32)
+        spacing = (1.0, 1.0, 1.0)
+        grad = filters.gaussian_gradient(vol, 1.0, spacing)
+        score_ref, outer_ref = _score_and_outer(grad)
+
+        score, outer = sharded_feature_score(vol, 1.0, spacing, mesh)
+        np.testing.assert_allclose(
+            np.asarray(score), np.asarray(score_ref), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(outer), np.asarray(outer_ref), rtol=1e-4, atol=1e-5
+        )
+
+    def test_halo_exchange_roundtrip(self, rng):
+        from jax.sharding import Mesh, PartitionSpec
+        from lrr_tpu.parallel import halo_exchange
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("sp",))
+        x = jnp.asarray(rng.standard_normal((16, 5)), jnp.float32)
+
+        def local(b):
+            return halo_exchange(b, 2, "sp")
+
+        ext = jax.shard_map(
+            local, mesh=mesh, in_specs=PartitionSpec("sp"),
+            out_specs=PartitionSpec("sp"),
+        )(x)
+        ext = np.asarray(ext).reshape(4, 8, 5)
+        xs = np.asarray(x).reshape(4, 4, 5)
+        # interior neighbor slabs
+        np.testing.assert_array_equal(ext[1, :2], xs[0, -2:])
+        np.testing.assert_array_equal(ext[1, -2:], xs[2, :2])
+        # edge replication at the outer boundaries
+        np.testing.assert_array_equal(ext[0, 0], xs[0, 0])
+        np.testing.assert_array_equal(ext[0, 1], xs[0, 0])
+        np.testing.assert_array_equal(ext[3, -1], xs[3, -1])
