@@ -191,7 +191,19 @@ def cmd_register(args):
     from lrr_tpu.verify import parse_libsvm_model
     from lrr_tpu.verify.svm import SvmModel, fit_rbf_classifier
 
-    cfg = PipelineConfig()
+    from lrr_tpu.config import EstimationConfig, IndexingConfig
+
+    cfg = PipelineConfig(
+        indexing=IndexingConfig(
+            num_candidates=args.candidates,
+            max_query_keypoints=max(args.candidates, 32),
+        ),
+        estimation=EstimationConfig(
+            max_matches=args.max_matches,
+            max_iterations=args.max_iterations,
+            min_region_features=args.min_region_features,
+        ),
+    )
     fs_m = read_features(args.moving_features)
     fs_f = read_features(args.fixed_features)
     ds_m = read_descriptors(args.moving_descriptors)
@@ -521,6 +533,10 @@ def main(argv=None):
     s.add_argument("--locs", required=True)
     s.add_argument("--svm-model")
     s.add_argument("--out", default="results")
+    s.add_argument("--candidates", type=int, default=20)
+    s.add_argument("--max-matches", type=int, default=8000)
+    s.add_argument("--max-iterations", type=int, default=70)
+    s.add_argument("--min-region-features", type=int, default=1000)
     s.set_defaults(fn=cmd_register)
 
     s = sub.add_parser("estimate")

@@ -448,8 +448,15 @@ def register_candidate(
     init: Affine3D,
     cfg: EstimationConfig,
     key: jax.Array,
+    progress_callback=None,
 ) -> ICPResult:
-    """Run the full symmetric robust ICP from one initialization."""
+    """Run the full symmetric robust ICP from one initialization.
+
+    `progress_callback(iteration, weighted_error, number_matches)` is the
+    analog of the reference's per-iteration display callback
+    (cdcl_estimation_abs.h:50-55, display/cdcl_display.h:16): invoked from
+    the compiled loop via jax.debug.callback when provided (host round-trip
+    per iteration — observability tool, leave None in production)."""
 
     key, kpm, kpf = jax.random.split(key, 3)
     src_m = _pack_source(kpm, moving)
@@ -483,6 +490,11 @@ def register_candidate(
 
         we_after = _weighted_error(new_trans, fwd_w)
         we_bwd = _weighted_error(new_trans.inverse(), bwd_w)
+
+        if progress_callback is not None:
+            jax.debug.callback(
+                progress_callback, c.iteration, we_after, c.number_matches
+            )
 
         curr_diff = we_after - weighted_error_before
         rate = curr_diff / jnp.where(we_after == 0, 1e-30, we_after)

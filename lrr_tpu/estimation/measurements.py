@@ -76,12 +76,15 @@ def backward_covariance(
     """
     kf, kb = jax.random.split(key)
     inv = result.trans.inverse()
+    # lean=True skips the direction/shape gathers: the LS pass consumes only
+    # locations, strengths and error projectors
     fwd_sw = _sample_matches(
-        kb, fixed, moving, moving_vor, inv, result.number_matches, cfg.max_matches
+        kb, fixed, moving, moving_vor, inv, result.number_matches,
+        cfg.max_matches, lean=True, with_from_projector=False,
     )
     bwd_sw = _sample_matches(
         kf, moving, fixed, fixed_vor, result.trans, result.number_matches,
-        cfg.max_matches,
+        cfg.max_matches, lean=True, with_from_projector=True,
     )
     _, cov_bwd, _, _ = _estimate_ls(
         inv, fwd_sw, bwd_sw, jnp.asarray(False), cfg

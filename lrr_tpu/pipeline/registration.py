@@ -60,6 +60,10 @@ class PairContext(struct.PyTreeNode):
     fixed_descriptors: DescriptorSet
     moving_vor: VoronoiGrid
     fixed_vor: VoronoiGrid
+    # query-independent fixed->moving descriptor NN table (the reference
+    # recomputes this per query, indexing_one_descriptor.cxx:1199-1224;
+    # hoisting it is result-identical and saves a 195-d NN sweep per query)
+    nn_table: Optional[tuple[jax.Array, jax.Array]] = None
 
 
 class LocationResult(struct.PyTreeNode):
@@ -105,6 +109,9 @@ def prepare_pair(
     ds_f = _descriptors_jit(kp_f, fs_f, cfg.descriptors)
     mv = VoronoiGrid(*build_feature_voronoi(fs_m.xyz, fs_m.mask))
     fv = VoronoiGrid(*build_feature_voronoi(fs_f.xyz, fs_f.mask))
+    from lrr_tpu.matching.indexing import descriptor_nn_table
+
+    table = descriptor_nn_table(ds_f, ds_m)
     return PairContext(
         moving_features=fs_m,
         fixed_features=fs_f,
@@ -112,6 +119,7 @@ def prepare_pair(
         fixed_descriptors=ds_f,
         moving_vor=mv,
         fixed_vor=fv,
+        nn_table=table,
     )
 
 
@@ -190,7 +198,8 @@ def register_location(
 ) -> LocationResult:
     """Full stage 2+3 for one query location."""
     cands = generate_candidates(
-        query, ctx.moving_descriptors, ctx.fixed_descriptors, cfg.indexing
+        query, ctx.moving_descriptors, ctx.fixed_descriptors, cfg.indexing,
+        nn_table=ctx.nn_table,
     )
     inits = initial_transforms(
         cands, ctx.moving_descriptors, ctx.fixed_descriptors, query

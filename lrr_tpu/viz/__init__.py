@@ -1,3 +1,8 @@
-from lrr_tpu.viz.panels import checkerboard_panels, save_png, slice_panel
+from lrr_tpu.viz.panels import (
+    checkerboard_panels,
+    overlay_features,
+    save_png,
+    slice_panel,
+)
 
-__all__ = ["checkerboard_panels", "save_png", "slice_panel"]
+__all__ = ["checkerboard_panels", "overlay_features", "save_png", "slice_panel"]

@@ -121,3 +121,43 @@ def checkerboard_panels(
         c = checkerboard(m, f)
         rows.append(np.concatenate([m, f, c], axis=1))
     return np.concatenate(rows, axis=0)
+
+
+def overlay_features(
+    panel: np.ndarray,  # [res, res] one slice panel (modified copy returned)
+    feature_xyz: np.ndarray,  # [N, 3] world mm
+    feature_mask: np.ndarray,  # [N]
+    center_xyz,
+    axis: int,
+    half_extent_mm: float = 25.0,
+    slab_mm: float = 1.5,
+    value: float | None = None,
+) -> np.ndarray:
+    """Mark features within `slab_mm` of the slice plane as bright crosses.
+
+    The reference renders feature glyphs over its slice panels
+    (cdcl/io/itkImageSlicesWithGeometryFilter.h:5, used for the 9-panel
+    checkerboards); this is the array-first equivalent.
+    """
+    panel = np.array(panel, copy=True)
+    res = panel.shape[0]
+    center = np.asarray(center_xyz, np.float32)
+    axes = [a for a in range(3) if a != axis]
+    if value is None:
+        value = float(panel.max()) if panel.size else 1.0
+
+    pts = np.asarray(feature_xyz, np.float32)[np.asarray(feature_mask, bool)]
+    rel = pts - center
+    in_slab = np.abs(rel[:, axis]) <= slab_mm
+    uv = rel[in_slab][:, axes]
+    scale = (res - 1) / (2.0 * half_extent_mm)
+    ij = np.round((uv + half_extent_mm) * scale).astype(int)
+    keep = (ij >= 0).all(axis=1) & (ij < res).all(axis=1)
+    for i, j in ij[keep]:
+        panel[i, j] = value
+        for d in (-1, 1):
+            if 0 <= i + d < res:
+                panel[i + d, j] = value
+            if 0 <= j + d < res:
+                panel[i, j + d] = value
+    return panel

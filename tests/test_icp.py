@@ -174,3 +174,45 @@ class TestICPJit:
         )
         t = np.asarray(res.trans.apply(jnp.zeros(3)))
         np.testing.assert_allclose(t, [1.0, 2.0, 0.5], atol=0.5)
+
+
+def test_progress_callback_invoked():
+    """The per-iteration display-callback analog fires from the compiled loop."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lrr_tpu.config import EstimationConfig
+    from lrr_tpu.estimation import VoronoiGrid, register_candidate
+    from lrr_tpu.models import Affine3D
+    from lrr_tpu.ops.voronoi import build_feature_voronoi
+    from lrr_tpu.types import CORNER, FeatureSet
+
+    rng = np.random.default_rng(3)
+    n = 256
+    xyz = rng.uniform(0, 30, (n, 3)).astype(np.float32)
+    proj = np.broadcast_to(np.eye(3, dtype=np.float32), (n, 3, 3))
+    fs = FeatureSet(
+        xyz=jnp.asarray(xyz),
+        strength=jnp.asarray(rng.uniform(10, 90, n).astype(np.float32)),
+        shape=jnp.full((n,), CORNER, jnp.int32),
+        projector=jnp.asarray(proj),
+        directions=jnp.zeros((n, 3, 3), jnp.float32),
+        mask=jnp.ones(n, bool),
+    )
+    moved = fs.replace(xyz=fs.xyz + jnp.asarray([1.0, 0.5, -0.5]))
+    vor_f = VoronoiGrid(*build_feature_voronoi(moved.xyz, moved.mask, 2.0, max_shape=48))
+    vor_m = VoronoiGrid(*build_feature_voronoi(fs.xyz, fs.mask, 2.0, max_shape=48))
+
+    seen = []
+    def cb(it, err, nm):
+        seen.append((int(it), float(err), int(nm)))
+
+    cfg = EstimationConfig(max_matches=256, max_iterations=5, initial_matches=64)
+    res = register_candidate(
+        fs, moved, vor_f, vor_m, Affine3D.identity(), cfg, jax.random.key(0),
+        progress_callback=cb,
+    )
+    jax.block_until_ready(res.trans.t)
+    assert len(seen) >= 1
+    assert all(np.isfinite(e) for _, e, _ in seen)

@@ -41,3 +41,22 @@ class TestViz:
         assert energy(good) < energy(ident)
         save_png(str(tmp_path / "panels.png"), good)
         assert os.path.getsize(str(tmp_path / "panels.png")) > 100
+
+
+def test_overlay_features_marks_in_slab_points():
+    import numpy as np
+    from lrr_tpu.viz.panels import overlay_features
+
+    panel = np.zeros((64, 64), np.float32)
+    xyz = np.asarray([
+        [0.0, 0.0, 25.0],   # at slice center plane (axis=2 at z=25)
+        [5.0, -5.0, 25.5],  # in slab
+        [0.0, 0.0, 40.0],   # out of slab
+    ], np.float32)
+    mask = np.ones(3, bool)
+    out = overlay_features(panel, xyz, mask, [0.0, 0.0, 25.0], axis=2,
+                           half_extent_mm=10.0, value=7.0)
+    assert (out == 7.0).sum() >= 8   # two crosses drawn
+    assert out.max() == 7.0
+    # original untouched
+    assert panel.max() == 0.0
