@@ -471,18 +471,18 @@ def register_candidate(
         # value sanity bounds (itkLocationRegistration.cxx:2482,2914-2926)
         return (~c.converged) & (c.iteration < cfg.max_iterations) & c.valid
 
-    def body(c: _Carry):
+    def make_body(cap: int, c: _Carry):
         key, kf, kb = jax.random.split(c.key, 3)
 
         weighted_error_before = c.weighted_error
 
         fwd = _sample_matches_fast(
             kf, src_m, dst_f, fixed_vor, c.trans, c.number_matches,
-            cfg.max_matches,
+            cap,
         )
         bwd = _sample_matches_fast(
             kb, src_f, dst_m, moving_vor, c.trans.inverse(), c.number_matches,
-            cfg.max_matches,
+            cap,
         )
 
         use_muse = ~c.scale_estimated
@@ -567,7 +567,33 @@ def register_candidate(
         valid=jnp.asarray(True),
         key=key,
     )
-    c = jax.lax.while_loop(cond, body, c0)
+
+    # Staged match capacities: the reference's doubling schedule
+    # (1000 -> 2000 -> ... -> all, symmetric .txx:423-433) means early
+    # iterations touch far fewer matches than max_matches, but a single
+    # while_loop must size every iteration's arrays at the maximum.  Chaining
+    # one while_loop per doubling level with a static per-level capacity
+    # keeps each iteration's gather/sort/reduce traffic proportional to the
+    # CURRENT match count — ~2x less total work than the flat loop.  Rows
+    # beyond number_matches were masked out either way, so the staged loops
+    # compute the identical result (same RNG stream, same masks).
+    caps: list[int] = []
+    level = max(cfg.initial_matches, 1)
+    while level < cfg.max_matches:
+        caps.append(min(-(-level // 128) * 128, cfg.max_matches))
+        level *= 2
+    if not caps or caps[-1] != cfg.max_matches:
+        caps.append(cfg.max_matches)
+
+    c = c0
+    for k, cap in enumerate(caps):
+        last = k == len(caps) - 1
+        if last:
+            stage_cond = cond
+        else:
+            def stage_cond(s, _cap=cap):
+                return cond(s) & (s.number_matches <= _cap)
+        c = jax.lax.while_loop(stage_cond, partial(make_body, cap), c)
 
     # final angle statistics from one full-payload weighted pass at the
     # final transform (the reference reads them off the last iteration's
