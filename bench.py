@@ -89,11 +89,19 @@ def build_workload(size, n_queries, seed=11):
         np.random.default_rng(1).uniform(lo, hi, (n_queries, 3)).astype(np.float32)
     )
 
-    step = jax.jit(
-        lambda qs, keys: jax.vmap(
-            lambda q, k: register_location(ctx, q, cfg, svm, k)
+    # ctx and svm are jit ARGUMENTS, not closure captures: captured arrays
+    # are baked into the executable as constants and re-shipped on every
+    # dispatch (~25-70 ms for this context through the remote-TPU tunnel);
+    # passing them keeps them device-resident.
+    step_fn = jax.jit(
+        lambda c, s, qs, keys: jax.vmap(
+            lambda q, k: register_location(c, q, cfg, s, k)
         )(qs, keys)
     )
+
+    def step(qs, keys):
+        return step_fn(ctx, svm, qs, keys)
+
     return step, queries, prepare_s
 
 

@@ -48,7 +48,7 @@ from lrr_tpu.models import Affine3D
 from lrr_tpu.models.affine import covariance_unnormalize, normal_equations_terms
 from lrr_tpu.ops import robust
 from lrr_tpu.ops.geometry import masked_mean
-from lrr_tpu.ops.voronoi import lookup
+from lrr_tpu.ops.voronoi import flat_take, lookup
 from lrr_tpu.types import SHEET, TUBE, FeatureSet
 
 WEIGHT_FLOOR = 1e-4  # accumulation skip threshold (symmetric .txx:469,576)
@@ -103,11 +103,9 @@ class _Carry(NamedTuple):
     oscillation_count: jax.Array
     number_matches: jax.Array
     finest_level: jax.Array
-    scale_estimated: jax.Array
     iteration: jax.Array
     converged: jax.Array
     valid: jax.Array
-    key: jax.Array
 
 
 def _mad_scale_dof(values: jax.Array, mask: jax.Array) -> jax.Array:
@@ -287,6 +285,262 @@ def _sample_matches(
     )
 
 
+# ---------------------------------------------------------------------------
+# Component-major ("packed") hot-loop path.
+#
+# TPU layout rule: an array's last dim maps to 128 lanes and the second-minor
+# to 8 sublanes.  Match arrays shaped [M, 3] / [M, 3, 3] physically pad those
+# tiny trailing dims ~10-340x, and contractions over them (the residual
+# quadratic form, the ijkl normal-equation einsum) materialize padded
+# intermediates — measured at 10-43 ms per call at 40x4096 on v5e, dominating
+# the whole ICP.  The inner loop therefore keeps every per-match quantity
+# component-major: [C, M] with the match dim in lanes (components unrolled in
+# Python), and computes the 12x12 system as one G^T G lane-contraction on the
+# MXU.  The row-major Matches path above is kept for the once-per-candidate
+# statistics passes.
+# ---------------------------------------------------------------------------
+
+
+class PackedMatches(NamedTuple):
+    """Single-direction match set, component-major: all arrays [*, M]."""
+
+    fxyz: jax.Array  # [3, M] source (from) locations
+    fstr: jax.Array  # [M] source strengths
+    txyz: jax.Array  # [3, M] target (to) locations
+    tstr: jax.Array  # [M] target strengths
+    tproj: jax.Array  # [9, M] target error projector, row-major
+    fproj: jax.Array  # [9, M] source error projector (backward constraints)
+    weight: jax.Array  # [M]
+    mask: jax.Array  # [M] bool
+
+
+def _sample_matches_packed(
+    key: jax.Array,
+    src: _PackedSource,
+    dst_packed: jax.Array,  # [n, 16]
+    vor: VoronoiGrid,
+    trans: Affine3D,
+    number: jax.Array,
+    cap: int,
+    with_from_projector: bool = False,
+    offset: jax.Array | None = None,
+) -> PackedMatches:
+    """Component-major twin of _sample_matches_fast: same selection
+    semantics, returns [C, M] arrays (one [16, M] transpose per side; the
+    window slice and NN gather are row-major reads).
+
+    `offset` (window start into the cyclic permutation table) may be supplied
+    directly — the ICP loop precomputes all iteration offsets in one randint
+    outside the loop because a threefry split+randint per iteration costs
+    ~1.7 ms at 40 lanes inside the compiled loop."""
+    cap = min(cap, src.table.shape[0] // 2)
+    v = jnp.maximum(src.valid_count, 1)
+    if offset is None:
+        offset = jax.random.randint(key, (), 0, v)
+    win = jax.lax.dynamic_slice(src.table, (offset, 0), (cap, _ROW)).T  # [16, M]
+
+    fxyz = win[0:3]
+    rank_ok = jnp.arange(cap) < jnp.minimum(number, src.valid_count)
+    sel = rank_ok & (win[13] > 0.5)
+
+    mapped = _apply_packed(trans, fxyz)  # [3, M]
+    nn = lookup(vor.index_vol, vor.origin, vor.spacing, mapped.T)
+    ok = sel & (nn >= 0)
+    nn = jnp.maximum(nn, 0)
+    to_row = flat_take(dst_packed, nn).T  # [16, M]
+
+    return PackedMatches(
+        fxyz=fxyz,
+        fstr=win[3],
+        txyz=to_row[0:3],
+        tstr=to_row[3],
+        tproj=to_row[4:13],
+        fproj=win[4:13] if with_from_projector else jnp.zeros_like(win[4:13]),
+        weight=jnp.where(ok, 1.0, 0.0),
+        mask=ok & (to_row[13] > 0.5),
+    )
+
+
+def _apply_packed(trans: Affine3D, x: jax.Array) -> jax.Array:
+    """trans.apply for component-major points x [3, M]."""
+    xc = x - trans.center[:, None]
+    return trans.A @ xc + trans.t[:, None]
+
+
+def _residual2_packed(trans: Affine3D, pm: PackedMatches) -> jax.Array:
+    """e^T P e per match, [M] (hot metric, rrl_estimation_ICP_matching_all
+    .txx:214-224)."""
+    e = _apply_packed(trans, pm.fxyz) - pm.txyz  # [3, M]
+    r2 = jnp.zeros_like(pm.weight)
+    for i in range(3):
+        acc = (
+            pm.tproj[3 * i + 0] * e[0]
+            + pm.tproj[3 * i + 1] * e[1]
+            + pm.tproj[3 * i + 2] * e[2]
+        )
+        r2 = r2 + e[i] * acc
+    return jnp.maximum(r2, 0.0)
+
+
+def _scale_and_bt_weights_packed(
+    trans: Affine3D, pm: PackedMatches, use_muse, cfg: EstimationConfig
+) -> PackedMatches:
+    """use_muse may be a Python bool: the ICP loop peels the MUSE iteration
+    (iteration 0) statically so the in-loop body never pays the MUSE
+    sort+cumsum (~0.9 ms/iteration at 40 lanes)."""
+    r2 = _residual2_packed(trans, pm)
+    msk = pm.mask
+    rms = jnp.sqrt(
+        jnp.sum(jnp.where(msk, r2, 0.0)) / jnp.maximum(jnp.sum(msk), 1)
+    )
+    if isinstance(use_muse, bool):
+        if use_muse:
+            scale = robust.muse_scale(
+                jnp.sqrt(r2), msk, cfg.muse_min_frac, cfg.muse_max_frac
+            )
+        else:
+            scale = rms
+    else:
+        muse = robust.muse_scale(
+            jnp.sqrt(r2), msk, cfg.muse_min_frac, cfg.muse_max_frac
+        )
+        scale = jnp.where(use_muse, muse, rms)
+    scale = jnp.maximum(scale, SCALE_FLOOR)
+    s2 = scale * scale
+    w = robust.weight_bt(r2 / s2) / s2
+    return pm._replace(weight=jnp.where(msk, w, 0.0))
+
+
+def _weight_by_strength_packed(pm: PackedMatches) -> PackedMatches:
+    gw = jnp.minimum(pm.fstr * pm.tstr, 90000.0)
+    nz = pm.mask & (pm.weight != 0.0)
+    w = jnp.where(nz, pm.weight * gw, pm.weight)
+    scale = _mad_scale_dof(gw, nz)
+    return pm._replace(weight=w / jnp.maximum(scale, 1e-30))
+
+
+def _weight_spatially_packed(
+    to_norm: jax.Array, pm: PackedMatches, falloff: float
+) -> PackedMatches:
+    d2 = to_norm[0] ** 2 + to_norm[1] ** 2 + to_norm[2] ** 2
+    sw = 1.0 / (1.0 + falloff * d2)
+    scale = _mad_scale_dof(sw, pm.mask)
+    return pm._replace(weight=pm.weight * sw / jnp.maximum(scale, 1e-30))
+
+
+def _weighted_error_packed(trans: Affine3D, pm: PackedMatches) -> jax.Array:
+    r2 = _residual2_packed(trans, pm)
+    w = jnp.where(pm.mask, pm.weight, 0.0)
+    return jnp.sum(jnp.sqrt(r2) * w) / jnp.maximum(jnp.sum(w), 1e-30)
+
+
+def _masked_mean_rows(x: jax.Array, mask: jax.Array) -> jax.Array:
+    """Mean of [C, M] over valid lanes -> [C]."""
+    n = jnp.maximum(jnp.sum(mask), 1)
+    return jnp.sum(jnp.where(mask[None, :], x, 0.0), axis=1) / n
+
+
+def _normal_equations_packed(
+    trans_n: Affine3D,
+    fxyz_n: jax.Array,  # [3, M] normalized source points
+    txyz_n: jax.Array,  # [3, M] normalized targets
+    proj: jax.Array,  # [9, M] error projector (idempotent)
+    weight: jax.Array,  # [M]
+) -> tuple[jax.Array, jax.Array]:
+    """AtA [12,12], Atb [12] via the G^T G factorization.
+
+    P idempotent (nn^T / I-tt^T / I) gives J^T P J = (PJ)^T (PJ), so with
+    G[(r, m), 4c+d] = sqrt(w_m) P_m[r, c] h_m[d] and y[(r, m)] = sqrt(w) q_r:
+    AtA = G^T G, Atb = G^T y.  Built component-major as [12, 3M] so both
+    contractions ride the MXU over the match lanes — this replaces the ijkl
+    einsum whose padded [*, M, 12, 12] intermediate cost ~40 ms at 40x4096."""
+    M = weight.shape[0]
+    sw = jnp.sqrt(jnp.maximum(weight, 0.0))
+    xc = fxyz_n - trans_n.center[:, None]
+    h = jnp.concatenate([xc, jnp.ones((1, M), xc.dtype)], axis=0)  # [4, M]
+    swP = sw[None, :] * proj  # [9, M]
+
+    # G[r] rows: [12, M] with entry (4c+d, m) = swP[3r+c, m] * h[d, m]
+    G = jnp.stack(
+        [swP[3 * r + c] * h[d] for c in range(3) for d in range(4) for r in range(3)],
+        axis=0,
+    ).reshape(12, 3, M)  # ordered [4c+d, r, m]
+    Gf = G.reshape(12, 3 * M)
+    AtA = jax.lax.dot_general(
+        Gf, Gf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # G's contraction order is (r, m) with r major; flatten y the same way
+    y = (sw[None, :] * txyz_n).reshape(-1)  # [3*M]
+    Atb = Gf @ y
+    return AtA, Atb
+
+
+def _estimate_ls_packed(
+    trans: Affine3D,
+    fwd: PackedMatches,
+    bwd: PackedMatches,
+    use_muse: jax.Array,
+    cfg: EstimationConfig,
+) -> tuple[Affine3D, jax.Array, PackedMatches, PackedMatches]:
+    """Component-major estimate_LS (symmetric .txx:698-918); semantics
+    identical to _estimate_ls above."""
+    fwd = _scale_and_bt_weights_packed(trans, fwd, use_muse, cfg)
+    bwd = _scale_and_bt_weights_packed(trans.inverse(), bwd, use_muse, cfg)
+
+    cm = _masked_mean_rows(fwd.fxyz, fwd.mask)
+    cf = _masked_mean_rows(fwd.txyz, fwd.mask)
+    dm = fwd.fxyz - cm[:, None]
+    df = fwd.txyz - cf[:, None]
+    rm = jnp.maximum(
+        _masked_mean_rows(
+            jnp.sqrt(dm[0] ** 2 + dm[1] ** 2 + dm[2] ** 2)[None, :], fwd.mask
+        )[0],
+        1e-6,
+    )
+    rf = jnp.maximum(
+        _masked_mean_rows(
+            jnp.sqrt(df[0] ** 2 + df[1] ** 2 + df[2] ** 2)[None, :], fwd.mask
+        )[0],
+        1e-6,
+    )
+
+    def norm_m(x):
+        return (x - cm[:, None]) / rm
+
+    def norm_f(x):
+        return (x - cf[:, None]) / rf
+
+    trans_n = trans.normalize(rm, rf, cm, cf)
+
+    fwd = _weight_by_strength_packed(fwd)
+    bwd = _weight_by_strength_packed(bwd)
+    fwd = _weight_spatially_packed(norm_f(fwd.txyz), fwd, cfg.spatial_falloff)
+    bwd = _weight_spatially_packed(norm_m(bwd.txyz), bwd, cfg.spatial_falloff)
+
+    w_f = jnp.where(fwd.weight >= WEIGHT_FLOOR, fwd.weight, 0.0)
+    w_b = jnp.where(bwd.weight >= WEIGHT_FLOOR, bwd.weight, 0.0)
+
+    AtA_f, Atb_f = _normal_equations_packed(
+        trans_n, norm_m(fwd.fxyz), norm_f(fwd.txyz), fwd.tproj, w_f
+    )
+    # backward constraint on forward params (symmetric .txx:551-655): J at the
+    # moving point (= backward `to`), target the fixed point (= backward
+    # `from`), under the fixed feature's projector (= backward from-projector)
+    AtA_b, Atb_b = _normal_equations_packed(
+        trans_n, norm_m(bwd.txyz), norm_f(bwd.fxyz), bwd.fproj, w_b
+    )
+
+    AtA = AtA_f + AtA_b
+    Atb = Atb_f + Atb_b
+
+    cov_n = jnp.linalg.pinv(AtA, hermitian=True)
+    theta = cov_n @ Atb
+    new_n = Affine3D.from_theta(theta, jnp.zeros(3, theta.dtype))
+    new_w = new_n.unnormalize(rm, rf, cm, cf)
+    cov_w = covariance_unnormalize(cov_n, rm, rf, cm, cf)
+    return new_w, cov_w, fwd._replace(weight=w_f), bwd._replace(weight=w_b)
+
+
 def _normal_residual2(trans: Affine3D, m: Matches) -> jax.Array:
     e = trans.apply(m.from_xyz) - m.to_xyz
     r2 = jnp.einsum("mi,mij,mj->m", e, m.to_projector, e)
@@ -458,7 +712,7 @@ def register_candidate(
     the compiled loop via jax.debug.callback when provided (host round-trip
     per iteration — observability tool, leave None in production)."""
 
-    key, kpm, kpf = jax.random.split(key, 3)
+    key, kpm, kpf, kof, kob = jax.random.split(key, 5)
     src_m = _pack_source(kpm, moving)
     src_f = _pack_source(kpf, fixed)
     dst_f = _pack_features(fixed)
@@ -466,30 +720,41 @@ def register_candidate(
     perm_m = (src_m.order, src_m.valid_count)
     perm_f = (src_f.order, src_f.valid_count)
 
+    # all per-iteration window offsets in ONE randint each (threefry inside
+    # the loop costs ~1.7 ms/iteration at 40 lanes)
+    n_offsets = cfg.max_iterations + 1
+    offs_f = jax.random.randint(
+        kof, (n_offsets,), 0, jnp.maximum(src_m.valid_count, 1)
+    )
+    offs_b = jax.random.randint(
+        kob, (n_offsets,), 0, jnp.maximum(src_f.valid_count, 1)
+    )
+
     def cond(c: _Carry):
         # the driver aborts a candidate whose transform leaves the singular
         # value sanity bounds (itkLocationRegistration.cxx:2482,2914-2926)
         return (~c.converged) & (c.iteration < cfg.max_iterations) & c.valid
 
-    def make_body(cap: int, c: _Carry):
-        key, kf, kb = jax.random.split(c.key, 3)
+    def make_body(cap: int, use_muse: bool, c: _Carry):
+        it = jnp.minimum(c.iteration, n_offsets - 1)
 
         weighted_error_before = c.weighted_error
 
-        fwd = _sample_matches_fast(
-            kf, src_m, dst_f, fixed_vor, c.trans, c.number_matches,
-            cap,
+        fwd = _sample_matches_packed(
+            None, src_m, dst_f, fixed_vor, c.trans, c.number_matches,
+            cap, offset=offs_f[it],
         )
-        bwd = _sample_matches_fast(
-            kb, src_f, dst_m, moving_vor, c.trans.inverse(), c.number_matches,
-            cap,
+        bwd = _sample_matches_packed(
+            None, src_f, dst_m, moving_vor, c.trans.inverse(), c.number_matches,
+            cap, with_from_projector=True, offset=offs_b[it],
         )
 
-        use_muse = ~c.scale_estimated
-        new_trans, cov_w, fwd_w, bwd_w = _estimate_ls(c.trans, fwd, bwd, use_muse, cfg)
+        new_trans, cov_w, fwd_w, bwd_w = _estimate_ls_packed(
+            c.trans, fwd, bwd, use_muse, cfg
+        )
 
-        we_after = _weighted_error(new_trans, fwd_w)
-        we_bwd = _weighted_error(new_trans.inverse(), bwd_w)
+        we_after = _weighted_error_packed(new_trans, fwd_w)
+        we_bwd = _weighted_error_packed(new_trans.inverse(), bwd_w)
 
         if progress_callback is not None:
             jax.debug.callback(
@@ -544,11 +809,9 @@ def register_candidate(
             oscillation_count=osc_new,
             number_matches=new_number,
             finest_level=new_finest,
-            scale_estimated=jnp.asarray(True),
             iteration=c.iteration + 1,
             converged=converged & new_finest,
             valid=new_trans.is_valid(*cfg.singular_value_bounds),
-            key=key,
         )
 
     dtype = moving.xyz.dtype
@@ -561,11 +824,9 @@ def register_candidate(
         oscillation_count=jnp.asarray(0, jnp.int32),
         number_matches=jnp.asarray(cfg.initial_matches, jnp.int32),
         finest_level=jnp.asarray(False),
-        scale_estimated=jnp.asarray(False),
         iteration=jnp.asarray(0, jnp.int32),
         converged=jnp.asarray(False),
         valid=jnp.asarray(True),
-        key=key,
     )
 
     # Staged match capacities: the reference's doubling schedule
@@ -585,7 +846,11 @@ def register_candidate(
     if not caps or caps[-1] != cfg.max_matches:
         caps.append(cfg.max_matches)
 
-    c = c0
+    # iteration 0 is peeled out of the loops so the MUSE scale estimate
+    # (sort + cumsum, first iteration only — cdcl .txx:719-726) never runs
+    # inside the compiled loop body
+    c = make_body(caps[0], True, c0)
+
     for k, cap in enumerate(caps):
         last = k == len(caps) - 1
         if last:
@@ -593,13 +858,13 @@ def register_candidate(
         else:
             def stage_cond(s, _cap=cap):
                 return cond(s) & (s.number_matches <= _cap)
-        c = jax.lax.while_loop(stage_cond, partial(make_body, cap), c)
+        c = jax.lax.while_loop(stage_cond, partial(make_body, cap, False), c)
 
     # final angle statistics from one full-payload weighted pass at the
     # final transform (the reference reads them off the last iteration's
     # matches; a fresh sample at the same state is statistically identical
     # and keeps direction/shape gathers out of the hot loop)
-    ks_f, ks_b = jax.random.split(c.key)
+    ks_f, ks_b = jax.random.split(key)
     fwd_s = _sample_matches(
         ks_f, moving, fixed, fixed_vor, c.trans, c.number_matches,
         cfg.max_matches, perm=perm_m,

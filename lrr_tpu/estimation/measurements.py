@@ -18,8 +18,10 @@ from lrr_tpu.config import EstimationConfig
 from lrr_tpu.estimation.icp import (
     ICPResult,
     VoronoiGrid,
-    _estimate_ls,
-    _sample_matches,
+    _estimate_ls_packed,
+    _pack_features,
+    _pack_source,
+    _sample_matches_packed,
 )
 from lrr_tpu.models import Affine3D
 from lrr_tpu.ops.eig3 import eigvalsh3
@@ -74,19 +76,23 @@ def backward_covariance(
     reference reuses the last iteration's matches; here a fresh random
     subsample at the final match count is statistically equivalent.
     """
-    kf, kb = jax.random.split(key)
+    kf, kb, kpf, kpm = jax.random.split(key, 4)
     inv = result.trans.inverse()
-    # lean=True skips the direction/shape gathers: the LS pass consumes only
-    # locations, strengths and error projectors
-    fwd_sw = _sample_matches(
-        kb, fixed, moving, moving_vor, inv, result.number_matches,
-        cfg.max_matches, lean=True, with_from_projector=False,
+    # component-major sampling + LS (the [C, M] hot-loop layout; see
+    # estimation/icp.py) — consumes only locations, strengths and projectors
+    src_f = _pack_source(kpf, fixed)
+    src_m = _pack_source(kpm, moving)
+    dst_m = _pack_features(moving)
+    dst_f = _pack_features(fixed)
+    fwd_sw = _sample_matches_packed(
+        kb, src_f, dst_m, moving_vor, inv, result.number_matches,
+        cfg.max_matches,
     )
-    bwd_sw = _sample_matches(
-        kf, moving, fixed, fixed_vor, result.trans, result.number_matches,
-        cfg.max_matches, lean=True, with_from_projector=True,
+    bwd_sw = _sample_matches_packed(
+        kf, src_m, dst_f, fixed_vor, result.trans, result.number_matches,
+        cfg.max_matches, with_from_projector=True,
     )
-    _, cov_bwd, _, _ = _estimate_ls(
+    _, cov_bwd, _, _ = _estimate_ls_packed(
         inv, fwd_sw, bwd_sw, jnp.asarray(False), cfg
     )
     return cov_bwd

@@ -30,6 +30,33 @@ _THETA_TO_REF = jnp.array([0, 1, 2, 4, 5, 6, 8, 9, 10, 3, 7, 11])
 _REF_TO_THETA = jnp.argsort(_THETA_TO_REF)
 
 
+def inv3(A: jax.Array) -> jax.Array:
+    """Closed-form 3x3 inverse via the adjugate (batched over leading dims)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c00 = e * i - f * h
+    c01 = c * h - b * i
+    c02 = b * f - c * e
+    c10 = f * g - d * i
+    c11 = a * i - c * g
+    c12 = c * d - a * f
+    c20 = d * h - e * g
+    c21 = b * g - a * h
+    c22 = a * e - b * d
+    det = a * c00 + b * c10 + c * c20
+    inv_det = 1.0 / det
+    adj = jnp.stack(
+        [
+            jnp.stack([c00, c01, c02], -1),
+            jnp.stack([c10, c11, c12], -1),
+            jnp.stack([c20, c21, c22], -1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
 class Affine3D(struct.PyTreeNode):
     A: jax.Array  # [3, 3]
     t: jax.Array  # [3]
@@ -78,8 +105,12 @@ class Affine3D(struct.PyTreeNode):
     def inverse(self) -> "Affine3D":
         """Inverse with zero center: x = A^{-1}(y - t) + c
         (cf. cdcl_trans_affine inverse; rigid analog at
-        cdcl_trans_rigid3d.cxx:111-117)."""
-        Ainv = jnp.linalg.inv(self.A)
+        cdcl_trans_rigid3d.cxx:111-117).
+
+        Closed-form adjugate inverse: jnp.linalg.inv's LU path costs ~0.8 ms
+        per ICP iteration inside the compiled loop at 40 lanes; the cofactor
+        formula is pure VPU arithmetic."""
+        Ainv = inv3(self.A)
         return Affine3D(
             A=Ainv,
             t=-Ainv @ self.t + self.center,

@@ -185,6 +185,33 @@ def voronoi_map_exact(
     return idx.reshape(D, H, W).astype(jnp.int32)
 
 
+@jax.custom_batching.custom_vmap
+def flat_take(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """take(table, idx, axis=0) whose batching rule flattens the index
+    batch dims.  An XLA gather with multi-dimensional start indices (the
+    [lanes, M] shape every vmapped lookup produces) runs ~3.4x slower on
+    TPU than the same gather with one flat index vector (measured on v5e:
+    4.07 -> 1.21 ms/iter at 40x4096 over a 96^3 map), so each vmap level
+    re-flattens instead of batching."""
+    return jnp.take(table, idx, axis=0)
+
+
+@flat_take.def_vmap
+def _flat_take_vmap(axis_size, in_batched, table, idx):
+    table_b, idx_b = in_batched
+    if table_b:
+        # batched tables get the generic path (not used by the hot loop)
+        out = jax.vmap(lambda t, i: jnp.take(t, i, axis=0))(
+            table, idx if idx_b else jnp.broadcast_to(idx, (axis_size,) + idx.shape)
+        )
+        return out, True
+    # recurse so nested vmaps keep flattening
+    out = flat_take(table, idx.reshape(-1)).reshape(
+        idx.shape + table.shape[1:]
+    )
+    return out, True
+
+
 def lookup(
     index_vol: jax.Array,
     origin: jax.Array,
@@ -194,15 +221,15 @@ def lookup(
     """O(1) nearest-feature-index lookup with clamping, the TPU analog of
     the reference's map read (rrl_estimation_ICP_matching_all.txx:530-543).
 
-    Gathers through a flattened linear index: one 1-D take lowers ~2.5x
-    faster on TPU than the equivalent 3-index advanced gather (measured on
-    v5e at 40x4096 queries over a 64^3 map)."""
+    Gathers through a flattened linear index (one 1-D take lowers ~2.5x
+    faster than a 3-index advanced gather), batched through `flat_take` so
+    vmapped callers keep the fast flat-index path."""
     D, H, W = index_vol.shape
     gi = jnp.round((query_xyz - origin) / spacing).astype(jnp.int32)
     x = jnp.clip(gi[..., 0], 0, W - 1)
     y = jnp.clip(gi[..., 1], 0, H - 1)
     z = jnp.clip(gi[..., 2], 0, D - 1)
-    return jnp.take(index_vol.reshape(-1), (z * H + y) * W + x)
+    return flat_take(index_vol.reshape(-1), (z * H + y) * W + x)
 
 
 def build_feature_voronoi(

@@ -42,9 +42,14 @@ REFERENCE_FEATURE_MAX = np.array(
 )
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class SvmModel:
-    """2-class RBF classifier with probability outputs."""
+    """2-class RBF classifier with probability outputs.
+
+    Registered as a pytree so a model can be passed through jit boundaries
+    as a runtime argument (closure-captured arrays are baked into the
+    executable as constants and re-shipped on every dispatch)."""
 
     gamma: float
     rho: float
@@ -52,7 +57,9 @@ class SvmModel:
     sv_coef: np.ndarray  # [N]
     prob_a: float
     prob_b: float
-    labels: tuple[int, int] = (1, -1)  # labels[0] is the "aligned" class
+    labels: tuple[int, int] = dataclasses.field(
+        default=(1, -1), metadata={"static": True}
+    )  # labels[0] is the "aligned" class
 
 
 def scale_measurements(
