@@ -174,8 +174,8 @@ def _pack_source(key: jax.Array, fs: FeatureSet) -> _PackedSource:
     order, valid = _source_permutation(key, fs.mask)
     n = fs.capacity
     v = jnp.maximum(valid, 1)
-    idx = order[jnp.remainder(jnp.arange(2 * n), v)]
-    return _PackedSource(_pack_features(fs)[idx], valid, order)
+    idx = flat_take(order, jnp.remainder(jnp.arange(2 * n), v))
+    return _PackedSource(flat_take(_pack_features(fs), idx), valid, order)
 
 
 def _sample_matches_fast(
@@ -257,11 +257,11 @@ def _sample_matches(
         order_all, valid_count = perm
         offset = jax.random.randint(key, (), 0, jnp.maximum(valid_count, 1))
         pos = jnp.remainder(offset + jnp.arange(cap), jnp.maximum(valid_count, 1))
-        idx = order_all[pos]
+        idx = flat_take(order_all, pos)
         rank_ok = jnp.arange(cap) < jnp.minimum(number, valid_count)
-    sel = rank_ok & src.mask[idx]
+    sel = rank_ok & flat_take(src.mask, idx)
 
-    from_xyz = src.xyz[idx]
+    from_xyz = flat_take(src.xyz, idx)
     mapped = trans.apply(from_xyz)
     nn = lookup(vor.index_vol, vor.origin, vor.spacing, mapped)
     ok = sel & (nn >= 0)
@@ -271,17 +271,19 @@ def _sample_matches(
     zero_i = jnp.zeros((cap,), jnp.int32)
     return Matches(
         from_xyz=from_xyz,
-        from_strength=src.strength[idx],
-        from_shape=zero_i if lean else src.shape[idx],
-        from_dirs=zero33 if lean else src.directions[idx],
-        from_projector=src.projector[idx] if with_from_projector else zero33,
-        to_xyz=dst.xyz[nn],
-        to_strength=dst.strength[nn],
-        to_shape=zero_i if lean else dst.shape[nn],
-        to_dirs=zero33 if lean else dst.directions[nn],
-        to_projector=dst.projector[nn],
+        from_strength=flat_take(src.strength, idx),
+        from_shape=zero_i if lean else flat_take(src.shape, idx),
+        from_dirs=zero33 if lean else flat_take(src.directions, idx),
+        from_projector=(
+            flat_take(src.projector, idx) if with_from_projector else zero33
+        ),
+        to_xyz=flat_take(dst.xyz, nn),
+        to_strength=flat_take(dst.strength, nn),
+        to_shape=zero_i if lean else flat_take(dst.shape, nn),
+        to_dirs=zero33 if lean else flat_take(dst.directions, nn),
+        to_projector=flat_take(dst.projector, nn),
         weight=jnp.where(ok, 1.0, 0.0),
-        mask=ok & dst.mask[nn],
+        mask=ok & flat_take(dst.mask, nn),
     )
 
 
