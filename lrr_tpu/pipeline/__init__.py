@@ -3,6 +3,7 @@ from lrr_tpu.pipeline.registration import (
     PairContext,
     prepare_pair,
     register_location,
+    register_locations,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "PairContext",
     "prepare_pair",
     "register_location",
+    "register_locations",
 ]

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from lrr_tpu.config import PipelineConfig
 from lrr_tpu.io.native_loader import VolumeLoader
 from lrr_tpu.pipeline.artifacts import prepare_pair_cached
-from lrr_tpu.pipeline.registration import register_location
+from lrr_tpu.pipeline.registration import register_locations
 from lrr_tpu.pipeline.results import write_results
 from lrr_tpu.types import Volume
 from lrr_tpu.utils.timers import StageTimers
@@ -52,7 +52,12 @@ def run_batch(
     out_dir: str,
     cache_dir: str | None = None,
     seed: int = 0,
+    mesh=None,
+    query_batch: int = 8,
 ) -> dict:
+    """`mesh` shards each pair's query batch data-parallel across devices
+    (pipeline.register_locations); `query_batch` bounds the queries compiled
+    into one step (fixed-shape program reuse across pairs)."""
     os.makedirs(out_dir, exist_ok=True)
     cache_dir = cache_dir or os.path.join(out_dir, "artifacts")
     os.makedirs(cache_dir, exist_ok=True)
@@ -91,17 +96,26 @@ def run_batch(
                     moving, fixed, cfg,
                     os.path.join(cache_dir, f"{j.name}.npz"),
                 )
-            for t, q in enumerate(j.queries):
+            # fixed-size query batches: one compiled program services every
+            # pair (shapes repeat), sharded over the mesh when given
+            for b0 in range(0, len(j.queries), query_batch):
+                qs = j.queries[b0 : b0 + query_batch]
+                n_real = len(qs)
+                padded = qs + [qs[-1]] * (query_batch - n_real)
                 with timers.time("register"):
-                    out = register_location(
-                        ctx, jnp.asarray(q, jnp.float32), cfg, svm,
-                        jax.random.key(seed + t),
+                    outs = register_locations(
+                        ctx, jnp.asarray(padded, jnp.float32), cfg, svm,
+                        jax.random.key(seed + b0), mesh=mesh,
                     )
-                prefix = os.path.join(out_dir, f"{j.name}_results{t:06d}")
-                write_results(prefix, out, q)
-                entry["locations"].append(
-                    {"query": q, "selected": int(out.selected)}
-                )
+                    jax.block_until_ready(outs.selected)
+                for t in range(n_real):
+                    out = jax.tree.map(lambda x: x[t], outs)
+                    qi = b0 + t
+                    prefix = os.path.join(out_dir, f"{j.name}_results{qi:06d}")
+                    write_results(prefix, out, qs[t])
+                    entry["locations"].append(
+                        {"query": qs[t], "selected": int(out.selected)}
+                    )
             with open(done_marker, "w") as f:
                 f.write("ok\n")
             report["completed"] += 1

@@ -189,6 +189,59 @@ def fixed_roi_with_full_targets(ctx: PairContext, f_sel: jax.Array) -> FeatureSe
     return ctx.fixed_features.replace(mask=f_sel)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _register_locations_jit(ctx, queries, cfg, svm, keys):
+    return jax.vmap(lambda q, k: register_location(ctx, q, cfg, svm, k))(
+        queries, keys
+    )
+
+
+def register_locations(
+    ctx: PairContext,
+    queries: jax.Array,  # [Q, 3]
+    cfg: PipelineConfig,
+    svm: SvmModel,
+    key: jax.Array,
+    mesh=None,
+) -> LocationResult:
+    """Batched registration of Q query locations (leading axis Q on every
+    LocationResult field).
+
+    With `mesh`, the query axis is sharded across all mesh devices (padded to
+    a multiple of the device count) — the data-parallel throughput axis of
+    SURVEY §2.5 P8: each device runs the full fixed-shape per-query program
+    on its slice; no collectives are needed until results are read back.
+    ctx/svm enter as jit arguments (captured arrays would be re-shipped on
+    every dispatch)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    queries = jnp.atleast_2d(jnp.asarray(queries))
+    Q = queries.shape[0]
+    keys = jax.random.split(key, Q)
+    if mesh is None:
+        return _register_locations_jit(ctx, queries, cfg, svm, keys)
+
+    n = mesh.devices.size
+    pad = (-Q) % n
+    if pad:
+        queries = jnp.concatenate(
+            [queries, jnp.broadcast_to(queries[:1], (pad, 3))], 0
+        )
+        kd = jax.random.key_data(keys)
+        kd = jnp.concatenate(
+            [kd, jnp.broadcast_to(kd[:1], (pad,) + kd.shape[1:])], 0
+        )
+        keys = jax.random.wrap_key_data(kd)
+    axes = tuple(mesh.axis_names)
+    shard = NamedSharding(mesh, P(axes))
+    queries = jax.device_put(queries, shard)
+    keys = jax.device_put(keys, shard)
+    out = _register_locations_jit(ctx, queries, cfg, svm, keys)
+    if pad:
+        out = jax.tree.map(lambda x: x[:Q], out)
+    return out
+
+
 def register_location(
     ctx: PairContext,
     query: jax.Array,  # [3]

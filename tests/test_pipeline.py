@@ -112,3 +112,32 @@ class TestPipeline:
         assert not np.asarray(out.enough_features).any() or int(out.selected) == -1 or True
         # at minimum: no crash and mask consistent
         assert out.verified.shape == (cfg.indexing.num_candidates,)
+
+
+class TestRegisterLocationsBatched:
+    def test_sharded_matches_unsharded(self, pair_ctx, rng):
+        """Data-parallel query sharding over the mesh reproduces the
+        single-device batched results exactly (P8 dp axis)."""
+        from jax.sharding import Mesh
+
+        from lrr_tpu.pipeline import register_locations
+
+        ctx, fixed, moving, true, cfg = pair_ctx
+        svm = surrogate_svm(rng)
+        queries = jnp.asarray(
+            rng.uniform(22.0, 42.0, (5, 3)).astype(np.float32)
+        )
+        key = jax.random.key(7)
+        plain = register_locations(ctx, queries, cfg, svm, key)
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("dp",))
+        sharded = register_locations(ctx, queries, cfg, svm, key, mesh=mesh)
+
+        assert plain.selected.shape == (5,)
+        assert sharded.selected.shape == (5,)
+        np.testing.assert_allclose(
+            np.asarray(sharded.probability), np.asarray(plain.probability),
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sharded.selected), np.asarray(plain.selected)
+        )
