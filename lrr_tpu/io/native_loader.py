@@ -121,6 +121,22 @@ def read_mhd_native(path: str):
     return data, origin, spacing
 
 
+def b64_decode_native(text: bytes) -> np.ndarray | None:
+    """Base64 decode via the native runtime (whitespace-tolerant); returns a
+    uint8 array or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = (len(text) // 4 + 1) * 3
+    out = np.empty(cap, np.uint8)
+    n = lib.lrr_b64_decode(
+        text, len(text), out.ctypes.data_as(ctypes.c_void_p), cap
+    )
+    if n < 0:
+        return None
+    return out[:n]
+
+
 class VolumeLoader:
     """Threaded prefetching loader over a list of MHD paths; yields volumes
     in order while worker threads read/decompress ahead."""

@@ -36,8 +36,23 @@ class PolyData:
     point_data: Dict[str, np.ndarray]  # name -> [N] or [N, C]
 
 
+def _b64(text: str) -> bytes:
+    """Base64 decode through the native runtime when available (handles
+    embedded whitespace without a Python-side join/split pass), falling back
+    to the stdlib."""
+    from lrr_tpu.io.native_loader import b64_decode_native
+
+    out = b64_decode_native(text.encode("ascii", "ignore"))
+    if out is not None:
+        return out.tobytes()
+    return base64.b64decode("".join(text.split()))
+
+
 def _decode_inline_b64(text: str, dtype, header_dtype, compressed: bool) -> np.ndarray:
-    raw = base64.b64decode("".join(text.split()))
+    return _decode_raw(_b64(text), dtype, header_dtype, compressed)
+
+
+def _decode_raw(raw: bytes, dtype, header_dtype, compressed: bool) -> np.ndarray:
     hsize = np.dtype(header_dtype).itemsize
     if not compressed:
         (nbytes,) = np.frombuffer(raw[:hsize], header_dtype)
@@ -91,12 +106,9 @@ def read_vtp(path: str) -> PolyData:
             off = int(el.get("offset", "0"))
             kind, text = appended
             # each array's data starts at byte offset `off` of the decoded
-            # appended stream; decode from there
-            raw = base64.b64decode("".join(text.split()))
-            sub = raw[off:]
-            arr = _decode_inline_b64(
-                base64.b64encode(sub).decode(), dtype, header_dtype, compressed
-            )
+            # appended stream; decode once and slice
+            raw = _b64(text)
+            arr = _decode_raw(raw[off:], dtype, header_dtype, compressed)
         else:
             raise ValueError(f"unknown format {fmt}")
         if swap:
