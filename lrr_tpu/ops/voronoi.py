@@ -212,6 +212,23 @@ def _flat_take_vmap(axis_size, in_batched, table, idx):
     return out, True
 
 
+def voxel_ids(
+    shape_zyx: tuple[int, int, int],
+    origin: jax.Array,
+    spacing: jax.Array,
+    query_xyz: jax.Array,  # [..., 3]
+) -> jax.Array:
+    """Clamped flat voxel index of each query point (the address computation
+    of the reference's map read, rrl_estimation_ICP_matching_all
+    .txx:530-543)."""
+    D, H, W = shape_zyx
+    gi = jnp.round((query_xyz - origin) / spacing).astype(jnp.int32)
+    x = jnp.clip(gi[..., 0], 0, W - 1)
+    y = jnp.clip(gi[..., 1], 0, H - 1)
+    z = jnp.clip(gi[..., 2], 0, D - 1)
+    return (z * H + y) * W + x
+
+
 def lookup(
     index_vol: jax.Array,
     origin: jax.Array,
@@ -224,12 +241,8 @@ def lookup(
     Gathers through a flattened linear index (one 1-D take lowers ~2.5x
     faster than a 3-index advanced gather), batched through `flat_take` so
     vmapped callers keep the fast flat-index path."""
-    D, H, W = index_vol.shape
-    gi = jnp.round((query_xyz - origin) / spacing).astype(jnp.int32)
-    x = jnp.clip(gi[..., 0], 0, W - 1)
-    y = jnp.clip(gi[..., 1], 0, H - 1)
-    z = jnp.clip(gi[..., 2], 0, D - 1)
-    return flat_take(index_vol.reshape(-1), (z * H + y) * W + x)
+    ids = voxel_ids(index_vol.shape, origin, spacing, query_xyz)
+    return flat_take(index_vol.reshape(-1), ids)
 
 
 def build_feature_voronoi(
