@@ -141,6 +141,31 @@ def _source_permutation(key: jax.Array, mask: jax.Array) -> tuple[jax.Array, jax
 _ROW = 16
 _PAD_COLS = _ROW - 14
 
+# Wide rows for the statistics passes: the 16 hot-loop floats plus shape and
+# the first two direction rows (for sheet/tube angle statistics).
+_ROW32 = 32
+
+
+def _pack_features32(fs: FeatureSet) -> jax.Array:
+    """[n, 32] rows: 0:3 xyz | 3 strength | 4:13 projector | 13 mask |
+    14 shape | 15 pad | 16:19 dir0 | 19:22 dir1 | 22:32 pad."""
+    n = fs.capacity
+    f32 = jnp.float32
+    return jnp.concatenate(
+        [
+            fs.xyz.astype(f32),
+            fs.strength.astype(f32)[:, None],
+            fs.projector.astype(f32).reshape(n, 9),
+            fs.mask.astype(f32)[:, None],
+            fs.shape.astype(f32)[:, None],
+            jnp.zeros((n, 1), f32),
+            fs.directions[:, 0, :].astype(f32),
+            fs.directions[:, 1, :].astype(f32),
+            jnp.zeros((n, _ROW32 - 22), f32),
+        ],
+        axis=1,
+    )
+
 
 def _pack_features(fs: FeatureSet) -> jax.Array:
     n = fs.capacity
@@ -436,6 +461,106 @@ def _weighted_error_packed(trans: Affine3D, pm: PackedMatches) -> jax.Array:
     return jnp.sum(jnp.sqrt(r2) * w) / jnp.maximum(jnp.sum(w), 1e-30)
 
 
+class StatsSample(NamedTuple):
+    """Component-major full-payload match sample for the statistics passes:
+    both sides' [32, M] rows (see _pack_features32 layout) + selection."""
+
+    src: jax.Array  # [32, M]
+    dst: jax.Array  # [32, M]
+    weight: jax.Array  # [M]
+    mask: jax.Array  # [M]
+
+
+def _sample_stats_packed(
+    key: jax.Array,
+    order: jax.Array,  # [n] permutation of source indices (valid first)
+    valid: jax.Array,
+    table32_src: jax.Array,  # [n, 32]
+    table32_dst: jax.Array,  # [n, 32]
+    vor: VoronoiGrid,
+    trans: Affine3D,
+    number: jax.Array,
+    cap: int,
+) -> StatsSample:
+    """Full-payload packed twin of _sample_matches(perm=...): a random cyclic
+    window of the permutation, Voronoi NN, one 32-float row gather per side."""
+    cap = min(cap, order.shape[0])
+    v = jnp.maximum(valid, 1)
+    offset = jax.random.randint(key, (), 0, v)
+    pos = jnp.remainder(offset + jnp.arange(cap), v)
+    idx = flat_take(order, pos)
+    src = flat_take(table32_src, idx).T  # [32, M]
+    sel = (jnp.arange(cap) < jnp.minimum(number, valid)) & (src[13] > 0.5)
+
+    mapped = _apply_packed(trans, src[0:3])
+    nn = lookup(vor.index_vol, vor.origin, vor.spacing, mapped.T)
+    ok = sel & (nn >= 0)
+    dst = flat_take(table32_dst, jnp.maximum(nn, 0)).T
+    return StatsSample(
+        src=src,
+        dst=dst,
+        weight=jnp.where(ok, 1.0, 0.0),
+        mask=ok & (dst[13] > 0.5),
+    )
+
+
+def _as_packed_matches(s: StatsSample, with_from_projector: bool) -> PackedMatches:
+    return PackedMatches(
+        fxyz=s.src[0:3],
+        fstr=s.src[3],
+        txyz=s.dst[0:3],
+        tstr=s.dst[3],
+        tproj=s.dst[4:13],
+        fproj=s.src[4:13] if with_from_projector else jnp.zeros_like(s.src[4:13]),
+        weight=s.weight,
+        mask=s.mask,
+    )
+
+
+def _angle_stats_packed(
+    trans: Affine3D, s: StatsSample, weight: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Component-major twin of _angle_stats: weighted mean sheet-normal /
+    tube-tangent angle disagreement (rrl_estimation_ICP_matching_all
+    .txx:281-374).  For an affine map, apply(x+d) - apply(x) = A d exactly,
+    so mapped directions are one matmul."""
+
+    def norm_rows(d):
+        n = jnp.sqrt(d[0] ** 2 + d[1] ** 2 + d[2] ** 2)
+        return d / jnp.maximum(n, 1e-12)[None, :]
+
+    def wmean_angle(p_dir, q_dir, pair_mask):
+        pm = norm_rows(trans.A @ p_dir)
+        c = jnp.clip(jnp.sum(pm * q_dir, axis=0), -1.0, 1.0)
+        ang = jnp.arccos(c)
+        ang = jnp.where(ang > jnp.pi / 2, jnp.pi - ang, ang)
+        w = jnp.where(pair_mask & s.mask, weight, 0.0)
+        return jnp.sum(w * ang) / jnp.maximum(jnp.sum(w), 1e-30)
+
+    f_shape = s.src[14].astype(jnp.int32)
+    t_shape = s.dst[14].astype(jnp.int32)
+
+    sheet = wmean_angle(
+        s.src[16:19], s.dst[16:19],
+        (f_shape == SHEET) & (t_shape == SHEET),
+    )
+
+    def cross_rows(a, b):
+        return jnp.stack(
+            [
+                a[1] * b[2] - a[2] * b[1],
+                a[2] * b[0] - a[0] * b[2],
+                a[0] * b[1] - a[1] * b[0],
+            ],
+            axis=0,
+        )
+
+    p_tan = cross_rows(s.src[16:19], s.src[19:22])
+    q_tan = norm_rows(cross_rows(s.dst[16:19], s.dst[19:22]))
+    tube = wmean_angle(p_tan, q_tan, (f_shape == TUBE) & (t_shape == TUBE))
+    return sheet, tube
+
+
 def _masked_mean_rows(x: jax.Array, mask: jax.Array) -> jax.Array:
     """Mean of [C, M] over valid lanes -> [C]."""
     n = jnp.maximum(jnp.sum(mask), 1)
@@ -705,20 +830,36 @@ def register_candidate(
     cfg: EstimationConfig,
     key: jax.Array,
     progress_callback=None,
+    moving_targets: FeatureSet | None = None,
+    fixed_targets: FeatureSet | None = None,
 ) -> ICPResult:
     """Run the full symmetric robust ICP from one initialization.
+
+    `moving`/`fixed` are the SAMPLING sources (typically ROI-masked);
+    `moving_targets`/`fixed_targets` are the match TARGET sets the Voronoi
+    maps index into — the reference constructs the estimator with the full
+    feature sets as targets and the ROI subsets as sources
+    (itkLocationRegistration.cxx:1645-1650).  Defaults to the source sets.
+    Passing the full sets also keeps the packed target tables identical
+    across vmapped candidates, so XLA hoists ONE copy out of the candidate
+    batch and the NN-row gathers stay on the fast flat-index path (a
+    per-candidate-masked table forces the generic batched-gather lowering).
 
     `progress_callback(iteration, weighted_error, number_matches)` is the
     analog of the reference's per-iteration display callback
     (cdcl_estimation_abs.h:50-55, display/cdcl_display.h:16): invoked from
     the compiled loop via jax.debug.callback when provided (host round-trip
     per iteration — observability tool, leave None in production)."""
+    if moving_targets is None:
+        moving_targets = moving
+    if fixed_targets is None:
+        fixed_targets = fixed
 
     key, kpm, kpf, kof, kob = jax.random.split(key, 5)
     src_m = _pack_source(kpm, moving)
     src_f = _pack_source(kpf, fixed)
-    dst_f = _pack_features(fixed)
-    dst_m = _pack_features(moving)
+    dst_f = _pack_features(fixed_targets)
+    dst_m = _pack_features(moving_targets)
     perm_m = (src_m.order, src_m.valid_count)
     perm_f = (src_f.order, src_f.valid_count)
 
@@ -867,19 +1008,25 @@ def register_candidate(
     # matches; a fresh sample at the same state is statistically identical
     # and keeps direction/shape gathers out of the hot loop)
     ks_f, ks_b = jax.random.split(key)
-    fwd_s = _sample_matches(
-        ks_f, moving, fixed, fixed_vor, c.trans, c.number_matches,
-        cfg.max_matches, perm=perm_m,
+    t32_m = _pack_features32(moving_targets)
+    t32_f = _pack_features32(fixed_targets)
+    inv = c.trans.inverse()
+    fwd_s = _sample_stats_packed(
+        ks_f, perm_m[0], perm_m[1], t32_m, t32_f, fixed_vor, c.trans,
+        c.number_matches, cfg.max_matches,
     )
-    bwd_s = _sample_matches(
-        ks_b, fixed, moving, moving_vor, c.trans.inverse(), c.number_matches,
-        cfg.max_matches, perm=perm_f,
+    bwd_s = _sample_stats_packed(
+        ks_b, perm_f[0], perm_f[1], t32_f, t32_m, moving_vor, inv,
+        c.number_matches, cfg.max_matches,
     )
-    _, _, fwd_w, bwd_w = _estimate_ls(
-        c.trans, fwd_s, bwd_s, jnp.asarray(False), cfg
+    _, _, fwd_w, bwd_w = _estimate_ls_packed(
+        c.trans,
+        _as_packed_matches(fwd_s, with_from_projector=False),
+        _as_packed_matches(bwd_s, with_from_projector=True),
+        False, cfg,
     )
-    sheet_f, tube_f = _angle_stats(c.trans, fwd_w)
-    sheet_b, tube_b = _angle_stats(c.trans.inverse(), bwd_w)
+    sheet_f, tube_f = _angle_stats_packed(c.trans, fwd_s, fwd_w.weight)
+    sheet_b, tube_b = _angle_stats_packed(inv, bwd_s, bwd_w.weight)
 
     return ICPResult(
         trans=c.trans,

@@ -68,6 +68,8 @@ def backward_covariance(
     moving_vor: VoronoiGrid,
     cfg: EstimationConfig,
     key: jax.Array,
+    moving_targets: FeatureSet | None = None,
+    fixed_targets: FeatureSet | None = None,
 ) -> jax.Array:
     """Covariance of the backward (fixed->moving) transform parameters.
 
@@ -75,15 +77,21 @@ def backward_covariance(
     normal equations about the inverse transform, keep only (AtA)^{-1}.  The
     reference reuses the last iteration's matches; here a fresh random
     subsample at the final match count is statistically equivalent.
+    `*_targets` are the match-target sets (full sets in the pipeline;
+    candidate-invariant so their packed tables hoist out of the vmap).
     """
+    if moving_targets is None:
+        moving_targets = moving
+    if fixed_targets is None:
+        fixed_targets = fixed
     kf, kb, kpf, kpm = jax.random.split(key, 4)
     inv = result.trans.inverse()
     # component-major sampling + LS (the [C, M] hot-loop layout; see
     # estimation/icp.py) — consumes only locations, strengths and projectors
     src_f = _pack_source(kpf, fixed)
     src_m = _pack_source(kpm, moving)
-    dst_m = _pack_features(moving)
-    dst_f = _pack_features(fixed)
+    dst_m = _pack_features(moving_targets)
+    dst_f = _pack_features(fixed_targets)
     fwd_sw = _sample_matches_packed(
         kb, src_f, dst_m, moving_vor, inv, result.number_matches,
         cfg.max_matches,

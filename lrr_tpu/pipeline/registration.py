@@ -36,7 +36,12 @@ from flax import struct
 
 from lrr_tpu.config import PipelineConfig
 from lrr_tpu.estimation import VoronoiGrid, register_candidate
-from lrr_tpu.estimation.icp import _angle_stats, _sample_matches
+from lrr_tpu.estimation.icp import (
+    _angle_stats_packed,
+    _pack_features32,
+    _sample_stats_packed,
+    _source_permutation,
+)
 from lrr_tpu.estimation.measurements import (
     backward_covariance,
     decision_measurements,
@@ -156,37 +161,37 @@ def _register_one_candidate(
     moving_roi = ctx.moving_features.replace(mask=m_sel)
     fixed_roi = ctx.fixed_features.replace(mask=f_sel)
 
-    k0, k1, k2 = jax.random.split(key, 3)
+    k0, k0b, k1, k2 = jax.random.split(key, 4)
 
     # PASS 1 ranking key: initial sheet/tube angle agreement
     # (find_closest_euclidean + angle stats at the initial transform,
-    # itkLocationRegistration.cxx:2303-2319)
-    m0 = _sample_matches(
-        k0, moving_roi, ctx.fixed_features, ctx.fixed_vor, init,
+    # itkLocationRegistration.cxx:2303-2319).  Tables are packed from the
+    # FULL feature sets (candidate-invariant, hoisted out of the vmap);
+    # the ROI enters via the sampling permutation.
+    order0, valid0 = _source_permutation(k0, m_sel)
+    s0 = _sample_stats_packed(
+        k0b, order0, valid0,
+        _pack_features32(ctx.moving_features),
+        _pack_features32(ctx.fixed_features),
+        ctx.fixed_vor, init,
         jnp.asarray(ecfg.initial_matches), ecfg.max_matches,
     )
-    sheet0, tube0 = _angle_stats(init, m0)
+    sheet0, tube0 = _angle_stats_packed(init, s0, s0.weight)
     initial_angle = 0.5 * (sheet0 + tube0)
 
+    # sampling sources are the ROI subsets; match targets are the full sets
+    # (itkLocationRegistration.cxx:1645-1650)
     res = register_candidate(
-        moving_roi, fixed_roi_with_full_targets(ctx, f_sel),
-        ctx.fixed_vor, ctx.moving_vor, init, ecfg, k1,
+        moving_roi, fixed_roi, ctx.fixed_vor, ctx.moving_vor, init, ecfg, k1,
+        moving_targets=ctx.moving_features, fixed_targets=ctx.fixed_features,
     )
 
     cov_b = backward_covariance(
-        res, moving_roi, ctx.fixed_features.replace(mask=f_sel),
-        ctx.fixed_vor, ctx.moving_vor, ecfg, k2,
+        res, moving_roi, fixed_roi, ctx.fixed_vor, ctx.moving_vor, ecfg, k2,
+        moving_targets=ctx.moving_features, fixed_targets=ctx.fixed_features,
     )
     meas = decision_measurements(res, cov_b, moving_lo, fixed_lo, ecfg.roi_mm)
     return res, meas, initial_angle, enough, qm
-
-
-def fixed_roi_with_full_targets(ctx: PairContext, f_sel: jax.Array) -> FeatureSet:
-    """The backward direction samples from the fixed ROI subset but both
-    directions' Voronoi targets index the FULL feature arrays (the reference
-    constructs the estimator with full sets as match targets and ROI subsets
-    as sampling sources, itkLocationRegistration.cxx:1645-1650)."""
-    return ctx.fixed_features.replace(mask=f_sel)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
