@@ -45,9 +45,8 @@ from flax import struct
 
 from lrr_tpu.config import EstimationConfig
 from lrr_tpu.models import Affine3D
-from lrr_tpu.models.affine import covariance_unnormalize, normal_equations_terms
+from lrr_tpu.models.affine import covariance_unnormalize
 from lrr_tpu.ops import robust
-from lrr_tpu.ops.geometry import masked_mean
 from lrr_tpu.ops.voronoi import flat_take, lookup
 from lrr_tpu.types import SHEET, TUBE, FeatureSet
 
@@ -59,23 +58,6 @@ class VoronoiGrid(NamedTuple):
     index_vol: jax.Array  # int32 [D, H, W]
     origin: jax.Array  # [3]
     spacing: jax.Array  # [3]
-
-
-class Matches(struct.PyTreeNode):
-    """Fixed-capacity single-direction match arrays."""
-
-    from_xyz: jax.Array  # [M, 3]
-    from_strength: jax.Array  # [M]
-    from_shape: jax.Array  # [M]
-    from_dirs: jax.Array  # [M, 3, 3]
-    from_projector: jax.Array  # [M, 3, 3]
-    to_xyz: jax.Array  # [M, 3]
-    to_strength: jax.Array  # [M]
-    to_shape: jax.Array  # [M]
-    to_dirs: jax.Array  # [M, 3, 3]
-    to_projector: jax.Array  # [M, 3, 3]
-    weight: jax.Array  # [M]
-    mask: jax.Array  # [M]
 
 
 class ICPResult(struct.PyTreeNode):
@@ -125,7 +107,7 @@ def _mad_scale_dof(values: jax.Array, mask: jax.Array) -> jax.Array:
 def _source_permutation(key: jax.Array, mask: jax.Array) -> tuple[jax.Array, jax.Array]:
     """One random permutation of the valid source indices (valid first).
     Computed once per candidate; per-iteration subsets are rolling windows
-    of it (see _sample_matches)."""
+    of it (see _sample_matches_packed)."""
     n = mask.shape[0]
     scores = jnp.where(mask, jax.random.uniform(key, (n,)), jnp.inf)
     order = jnp.argsort(scores)
@@ -203,115 +185,6 @@ def _pack_source(key: jax.Array, fs: FeatureSet) -> _PackedSource:
     return _PackedSource(flat_take(_pack_features(fs), idx), valid, order)
 
 
-def _sample_matches_fast(
-    key: jax.Array,
-    src: _PackedSource,
-    dst_packed: jax.Array,  # [n, 16]
-    vor: VoronoiGrid,
-    trans: Affine3D,
-    number: jax.Array,
-    cap: int,
-) -> Matches:
-    """Packed-row equivalent of _sample_matches(lean=True) for the ICP inner
-    loop: source rows via one dynamic_slice window, destination rows via one
-    packed Voronoi-NN gather."""
-    cap = min(cap, src.table.shape[0] // 2)
-    v = jnp.maximum(src.valid_count, 1)
-    offset = jax.random.randint(key, (), 0, v)
-    win = jax.lax.dynamic_slice(src.table, (offset, 0), (cap, _ROW))
-
-    from_xyz = win[:, 0:3]
-    rank_ok = jnp.arange(cap) < jnp.minimum(number, src.valid_count)
-    sel = rank_ok & (win[:, 13] > 0.5)
-
-    mapped = trans.apply(from_xyz)
-    nn = lookup(vor.index_vol, vor.origin, vor.spacing, mapped)
-    ok = sel & (nn >= 0)
-    nn = jnp.maximum(nn, 0)
-    to_row = dst_packed[nn]
-
-    zero33 = jnp.zeros((cap, 3, 3), from_xyz.dtype)
-    zero_i = jnp.zeros((cap,), jnp.int32)
-    return Matches(
-        from_xyz=from_xyz,
-        from_strength=win[:, 3],
-        from_shape=zero_i,
-        from_dirs=zero33,
-        from_projector=win[:, 4:13].reshape(cap, 3, 3),
-        to_xyz=to_row[:, 0:3],
-        to_strength=to_row[:, 3],
-        to_shape=zero_i,
-        to_dirs=zero33,
-        to_projector=to_row[:, 4:13].reshape(cap, 3, 3),
-        weight=jnp.where(ok, 1.0, 0.0),
-        mask=ok & (to_row[:, 13] > 0.5),
-    )
-
-
-def _sample_matches(
-    key: jax.Array,
-    src: FeatureSet,
-    dst: FeatureSet,
-    vor: VoronoiGrid,
-    trans: Affine3D,
-    number: jax.Array,
-    cap: int,
-    perm: tuple[jax.Array, jax.Array] | None = None,
-    lean: bool = False,
-    with_from_projector: bool = True,
-) -> Matches:
-    """Random subsample of `number` source points, matched by Voronoi gather
-    (find_closest_euclidean, rrl_estimation_ICP_matching_all.txx:494-571).
-
-    The reference reshuffles every iteration; sorting 8k keys inside the
-    while_loop dominated TPU time, so the permutation is computed once per
-    candidate and each iteration takes a randomly-offset cyclic window of it
-    — marginally the same uniform without-replacement subset.
-
-    lean=True skips the direction/shape row gathers (only needed for the
-    post-loop angle statistics); with_from_projector=False also skips the
-    source-side projector (only the backward direction consumes it).
-    Gather traffic is the iteration's dominant cost on TPU."""
-    n = src.capacity
-    cap = min(cap, n)
-    if perm is None:
-        order_all, valid_count = _source_permutation(key, src.mask)
-        idx = order_all[:cap]
-        rank_ok = jnp.arange(cap) < number
-    else:
-        order_all, valid_count = perm
-        offset = jax.random.randint(key, (), 0, jnp.maximum(valid_count, 1))
-        pos = jnp.remainder(offset + jnp.arange(cap), jnp.maximum(valid_count, 1))
-        idx = flat_take(order_all, pos)
-        rank_ok = jnp.arange(cap) < jnp.minimum(number, valid_count)
-    sel = rank_ok & flat_take(src.mask, idx)
-
-    from_xyz = flat_take(src.xyz, idx)
-    mapped = trans.apply(from_xyz)
-    nn = lookup(vor.index_vol, vor.origin, vor.spacing, mapped)
-    ok = sel & (nn >= 0)
-    nn = jnp.maximum(nn, 0)
-
-    zero33 = jnp.zeros((cap, 3, 3), from_xyz.dtype)
-    zero_i = jnp.zeros((cap,), jnp.int32)
-    return Matches(
-        from_xyz=from_xyz,
-        from_strength=flat_take(src.strength, idx),
-        from_shape=zero_i if lean else flat_take(src.shape, idx),
-        from_dirs=zero33 if lean else flat_take(src.directions, idx),
-        from_projector=(
-            flat_take(src.projector, idx) if with_from_projector else zero33
-        ),
-        to_xyz=flat_take(dst.xyz, nn),
-        to_strength=flat_take(dst.strength, nn),
-        to_shape=zero_i if lean else flat_take(dst.shape, nn),
-        to_dirs=zero33 if lean else flat_take(dst.directions, nn),
-        to_projector=flat_take(dst.projector, nn),
-        weight=jnp.where(ok, 1.0, 0.0),
-        mask=ok & flat_take(dst.mask, nn),
-    )
-
-
 # ---------------------------------------------------------------------------
 # Component-major ("packed") hot-loop path.
 #
@@ -323,8 +196,8 @@ def _sample_matches(
 # the whole ICP.  The inner loop therefore keeps every per-match quantity
 # component-major: [C, M] with the match dim in lanes (components unrolled in
 # Python), and computes the 12x12 system as one G^T G lane-contraction on the
-# MXU.  The row-major Matches path above is kept for the once-per-candidate
-# statistics passes.
+# MXU.  The statistics passes use the same layout with wider 32-float rows
+# (shape + direction payload).
 # ---------------------------------------------------------------------------
 
 
@@ -666,159 +539,6 @@ def _estimate_ls_packed(
     new_w = new_n.unnormalize(rm, rf, cm, cf)
     cov_w = covariance_unnormalize(cov_n, rm, rf, cm, cf)
     return new_w, cov_w, fwd._replace(weight=w_f), bwd._replace(weight=w_b)
-
-
-def _normal_residual2(trans: Affine3D, m: Matches) -> jax.Array:
-    e = trans.apply(m.from_xyz) - m.to_xyz
-    r2 = jnp.einsum("mi,mij,mj->m", e, m.to_projector, e)
-    return jnp.maximum(r2, 0.0)
-
-
-def _scale_and_bt_weights(
-    trans: Affine3D, m: Matches, use_muse: jax.Array, cfg: EstimationConfig
-) -> tuple[Matches, jax.Array]:
-    """estimate_scale_and_assign_weight (cdcl_estimation_ICP_matching_all
-    .txx:659-765)."""
-    r2 = _normal_residual2(trans, m)
-    msk = m.mask
-    rms = jnp.sqrt(
-        jnp.sum(jnp.where(msk, r2, 0.0)) / jnp.maximum(jnp.sum(msk), 1)
-    )
-    muse = robust.muse_scale(
-        jnp.sqrt(r2), msk, cfg.muse_min_frac, cfg.muse_max_frac
-    )
-    scale = jnp.where(use_muse, muse, rms)
-    scale = jnp.maximum(scale, SCALE_FLOOR)
-    s2 = scale * scale
-    w = robust.weight_bt(r2 / s2) / s2
-    w = jnp.where(msk, w, 0.0)
-    return m.replace(weight=w), scale
-
-
-def _weight_by_strength(m: Matches) -> Matches:
-    """(cdcl_estimation_ICP_matching_all.txx:826-865)"""
-    gw = jnp.minimum(m.from_strength * m.to_strength, 90000.0)
-    nz = m.mask & (m.weight != 0.0)
-    w = jnp.where(nz, m.weight * gw, m.weight)
-    scale = _mad_scale_dof(gw, nz)
-    w = w / jnp.maximum(scale, 1e-30)
-    return m.replace(weight=w)
-
-
-def _weight_spatially(m_to_norm_xyz: jax.Array, m: Matches, falloff: float) -> Matches:
-    """(cdcl .txx:972-1004): normalized to-location magnitude falloff."""
-    d2 = jnp.sum(m_to_norm_xyz * m_to_norm_xyz, -1)
-    sw = 1.0 / (1.0 + falloff * d2)
-    w = m.weight * sw
-    scale = _mad_scale_dof(sw, m.mask)
-    w = w / jnp.maximum(scale, 1e-30)
-    return m.replace(weight=w)
-
-
-def _normalization_stats(m: Matches) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """cdcl_normalize_matches: centers + average (mean) radii over the
-    forward matches' from/to points (cdcl/cdcl_utils.txx centering)."""
-    cm = masked_mean(m.from_xyz, m.mask)
-    cf = masked_mean(m.to_xyz, m.mask)
-    rm = masked_mean(jnp.linalg.norm(m.from_xyz - cm, axis=-1), m.mask)
-    rf = masked_mean(jnp.linalg.norm(m.to_xyz - cf, axis=-1), m.mask)
-    rm = jnp.maximum(rm, 1e-6)
-    rf = jnp.maximum(rf, 1e-6)
-    return cm, rm, cf, rf
-
-
-def _weighted_error(trans: Affine3D, m: Matches) -> jax.Array:
-    """(rrl_estimation_ICP_matching_all.txx:247-275)"""
-    r2 = _normal_residual2(trans, m)
-    w = jnp.where(m.mask, m.weight, 0.0)
-    return jnp.sum(jnp.sqrt(r2) * w) / jnp.maximum(jnp.sum(w), 1e-30)
-
-
-def _angle_stats(trans: Affine3D, m: Matches) -> tuple[jax.Array, jax.Array]:
-    """Weighted mean sheet-normal / tube-tangent angle disagreement in
-    radians (rrl_estimation_ICP_matching_all.txx:281-374)."""
-    mapped = trans.apply(m.from_xyz)
-
-    def angles(p_dir, q_dir, pair_mask):
-        p_mapped_dir = trans.apply(m.from_xyz + p_dir) - mapped
-        p_mapped_dir = p_mapped_dir / jnp.maximum(
-            jnp.linalg.norm(p_mapped_dir, axis=-1, keepdims=True), 1e-12
-        )
-        c = jnp.clip(jnp.sum(p_mapped_dir * q_dir, -1), -1.0, 1.0)
-        ang = jnp.arccos(c)
-        ang = jnp.where(ang > jnp.pi / 2, jnp.pi - ang, ang)
-        w = jnp.where(pair_mask & m.mask, m.weight, 0.0)
-        return jnp.sum(w * ang) / jnp.maximum(jnp.sum(w), 1e-30)
-
-    sheet = angles(
-        m.from_dirs[:, 0, :],
-        m.to_dirs[:, 0, :],
-        (m.from_shape == SHEET) & (m.to_shape == SHEET),
-    )
-    p_tan = jnp.cross(m.from_dirs[:, 0, :], m.from_dirs[:, 1, :])
-    q_tan = jnp.cross(m.to_dirs[:, 0, :], m.to_dirs[:, 1, :])
-    q_tan = q_tan / jnp.maximum(jnp.linalg.norm(q_tan, axis=-1, keepdims=True), 1e-12)
-    tube = angles(p_tan, q_tan, (m.from_shape == TUBE) & (m.to_shape == TUBE))
-    return sheet, tube
-
-
-def _estimate_ls(
-    trans: Affine3D,
-    fwd: Matches,
-    bwd: Matches,
-    use_muse: jax.Array,
-    cfg: EstimationConfig,
-) -> tuple[Affine3D, jax.Array, Matches, Matches]:
-    """estimate_LS (symmetric .txx:698-918).  Returns (new world transform,
-    world covariance, weighted forward matches, weighted backward matches —
-    with the final composite weights, in world coordinates)."""
-    fwd, _ = _scale_and_bt_weights(trans, fwd, use_muse, cfg)
-    bwd, _ = _scale_and_bt_weights(trans.inverse(), bwd, use_muse, cfg)
-
-    cm, arm, cf, arf = _normalization_stats(fwd)
-
-    def norm_m(x):
-        return (x - cm) / arm
-
-    def norm_f(x):
-        return (x - cf) / arf
-
-    trans_n = trans.normalize(arm, arf, cm, cf)
-
-    fwd = _weight_by_strength(fwd)
-    bwd = _weight_by_strength(bwd)
-    fwd = _weight_spatially(norm_f(fwd.to_xyz), fwd, cfg.spatial_falloff)
-    bwd = _weight_spatially(norm_m(bwd.to_xyz), bwd, cfg.spatial_falloff)
-
-    w_f = jnp.where(fwd.weight >= WEIGHT_FLOOR, fwd.weight, 0.0)
-    w_b = jnp.where(bwd.weight >= WEIGHT_FLOOR, bwd.weight, 0.0)
-
-    # forward: J at normalized from (moving), target normalized to (fixed)
-    AtA_f, Atb_f = normal_equations_terms(
-        trans_n, norm_m(fwd.from_xyz), norm_f(fwd.to_xyz), fwd.to_projector, w_f
-    )
-    # backward constraint re-expressed on forward params (symmetric
-    # .txx:551-655): the backward match stores the FIXED feature as `from`
-    # and the MOVING feature as `to`; it contributes J at the moving point,
-    # target the fixed point, under the FIXED feature's error projector
-    # (p->error_projector_ with p = backward from)
-    AtA_b, Atb_b = normal_equations_terms(
-        trans_n,
-        norm_m(bwd.to_xyz),  # moving feature, normalized as moving
-        norm_f(bwd.from_xyz),  # fixed feature, normalized as fixed
-        bwd.from_projector,
-        w_b,
-    )
-
-    AtA = AtA_f + AtA_b
-    Atb = Atb_f + Atb_b
-
-    cov_n = jnp.linalg.pinv(AtA, hermitian=True)
-    theta = cov_n @ Atb
-    new_n = Affine3D.from_theta(theta, jnp.zeros(3, theta.dtype))
-    new_w = new_n.unnormalize(arm, arf, cm, cf)
-    cov_w = covariance_unnormalize(cov_n, arm, arf, cm, cf)
-    return new_w, cov_w, fwd.replace(weight=w_f), bwd.replace(weight=w_b)
 
 
 def register_candidate(
