@@ -115,13 +115,21 @@ def _source_permutation(key: jax.Array, mask: jax.Array) -> tuple[jax.Array, jax
     return order, valid_count
 
 
-# Hot-loop memory layout: one contiguous 16-float row per feature
-# (xyz | strength | projector row-major | validity | pad).  A single packed
-# row gather is ~4x faster on TPU than the three separate xyz/strength/
-# projector gathers it replaces (measured on v5e at 40x4096 rows), because
-# each gathered row is one contiguous 64-byte read.
-_ROW = 16
-_PAD_COLS = _ROW - 14
+# Hot-loop memory layout: one contiguous 8-float row per feature
+# (xyz | strength | projector direction | tag).  A single packed row gather
+# is ~4x faster on TPU than the three separate xyz/strength/projector
+# gathers it replaces (measured on v5e at 40x4096 rows), and the NN row
+# gather is the dominant cost of the whole ICP iteration (~78% measured by
+# scripts/profile_loop.py) — so the row stores the error projector in its
+# canonical decomposition P = c1*I + c2*d d^T (sheet: d=normal, c=(0,+1);
+# tube: d=tangent, c=(1,-1); corner: c=(1,0);
+# features/itkFeatureImageFilter.txx:1041-1085) instead of its 9 entries,
+# halving gathered bytes.  P is rebuilt in registers where needed; the
+# residual e^T P e simplifies to c1*|e|^2 + c2*(d.e)^2, which is fewer VPU
+# ops than the explicit 9-entry quadratic form.
+_ROW = 8
+# row column indices: 0:3 xyz | 3 strength | 4:7 d | 7 tag
+# tag: 0 = invalid/padding, 1 = corner, 2 = sheet, 3 = tube
 
 # Wide rows for the statistics passes: the 16 hot-loop floats plus shape and
 # the first two direction rows (for sheet/tube angle statistics).
@@ -149,15 +157,62 @@ def _pack_features32(fs: FeatureSet) -> jax.Array:
     )
 
 
+def _proj_rows_to_dir_tag(
+    proj9: jax.Array, valid: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Decompose row-major projector components [9, M] into (d [3, M],
+    tag [M]) with P = c1*I + c2*d d^T (see the layout note above).
+
+    Classification is by trace (sheet nn^T: 1, tube I-tt^T: 2, corner I: 3);
+    d is recovered from the rank-1 part S (= P for sheets, I-P for tubes) as
+    its largest-diagonal column normalized — exact up to f32 rounding for
+    the canonical projector forms, which are the only ones the pipeline
+    produces (features/itkFeatureImageFilter.txx:1041-1085)."""
+    tr = proj9[0] + proj9[4] + proj9[8]
+    is_sheet = tr < 1.5
+    is_tube = (~is_sheet) & (tr < 2.5)
+    eye9 = jnp.asarray(
+        [1.0, 0, 0, 0, 1.0, 0, 0, 0, 1.0], proj9.dtype
+    )
+    s = jnp.where(is_sheet[None, :], proj9, eye9[:, None] - proj9)
+    diag = jnp.stack([s[0], s[4], s[8]])  # [3, M]
+    j = jnp.argmax(diag, axis=0)  # [M]
+    col = jnp.stack(
+        [
+            sum((j == c) * s[3 * r + c] for c in range(3))
+            for r in range(3)
+        ]
+    )  # [3, M] = d * d_j
+    d = col / jnp.maximum(
+        jnp.sqrt(col[0] ** 2 + col[1] ** 2 + col[2] ** 2), 1e-20
+    )[None, :]
+    rank1 = is_sheet | is_tube
+    d = jnp.where(rank1[None, :], d, 0.0)
+    tag = jnp.where(
+        valid,
+        jnp.where(is_sheet, 2.0, jnp.where(is_tube, 3.0, 1.0)),
+        0.0,
+    ).astype(proj9.dtype)
+    return d, tag
+
+
+def _c1c2(tag: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """P = c1*I + c2*d d^T coefficients from the row tag, [M] each."""
+    is_sheet = ((tag > 1.5) & (tag < 2.5)).astype(tag.dtype)
+    is_tube = (tag > 2.5).astype(tag.dtype)
+    return 1.0 - is_sheet, is_sheet - is_tube
+
+
 def _pack_features(fs: FeatureSet) -> jax.Array:
     n = fs.capacity
+    proj9 = fs.projector.astype(jnp.float32).reshape(n, 9).T  # [9, n]
+    d, tag = _proj_rows_to_dir_tag(proj9, fs.mask)
     return jnp.concatenate(
         [
             fs.xyz.astype(jnp.float32),
             fs.strength.astype(jnp.float32)[:, None],
-            fs.projector.astype(jnp.float32).reshape(n, 9),
-            fs.mask.astype(jnp.float32)[:, None],
-            jnp.zeros((n, _PAD_COLS), jnp.float32),
+            d.T,
+            tag[:, None],
         ],
         axis=1,
     )
@@ -202,14 +257,18 @@ def _pack_source(key: jax.Array, fs: FeatureSet) -> _PackedSource:
 
 
 class PackedMatches(NamedTuple):
-    """Single-direction match set, component-major: all arrays [*, M]."""
+    """Single-direction match set, component-major: all arrays [*, M].
+    Projectors are carried in decomposed (d, tag) form — see the layout
+    note above."""
 
     fxyz: jax.Array  # [3, M] source (from) locations
     fstr: jax.Array  # [M] source strengths
     txyz: jax.Array  # [3, M] target (to) locations
     tstr: jax.Array  # [M] target strengths
-    tproj: jax.Array  # [9, M] target error projector, row-major
-    fproj: jax.Array  # [9, M] source error projector (backward constraints)
+    tdir: jax.Array  # [3, M] target projector direction
+    ttag: jax.Array  # [M] target projector tag (0/1/2/3)
+    fdir: jax.Array  # [3, M] source projector direction (backward constraints)
+    ftag: jax.Array  # [M] source projector tag
     weight: jax.Array  # [M]
     mask: jax.Array  # [M] bool
 
@@ -237,27 +296,32 @@ def _sample_matches_packed(
     v = jnp.maximum(src.valid_count, 1)
     if offset is None:
         offset = jax.random.randint(key, (), 0, v)
-    win = jax.lax.dynamic_slice(src.table, (offset, 0), (cap, _ROW)).T  # [16, M]
+    win = jax.lax.dynamic_slice(src.table, (offset, 0), (cap, _ROW)).T  # [8, M]
 
     fxyz = win[0:3]
     rank_ok = jnp.arange(cap) < jnp.minimum(number, src.valid_count)
-    sel = rank_ok & (win[13] > 0.5)
+    sel = rank_ok & (win[7] > 0.5)
 
     mapped = _apply_packed(trans, fxyz)  # [3, M]
     nn = lookup(vor.index_vol, vor.origin, vor.spacing, mapped.T)
     ok = sel & (nn >= 0)
     nn = jnp.maximum(nn, 0)
-    to_row = flat_take(dst_packed, nn).T  # [16, M]
+    to_row = flat_take(dst_packed, nn).T  # [8, M]
 
+    # the from-side payload lives in the already-loaded window, so it is
+    # carried unconditionally (with_from_projector kept for API parity)
+    del with_from_projector
     return PackedMatches(
         fxyz=fxyz,
         fstr=win[3],
         txyz=to_row[0:3],
         tstr=to_row[3],
-        tproj=to_row[4:13],
-        fproj=win[4:13] if with_from_projector else jnp.zeros_like(win[4:13]),
+        tdir=to_row[4:7],
+        ttag=to_row[7],
+        fdir=win[4:7],
+        ftag=win[7],
         weight=jnp.where(ok, 1.0, 0.0),
-        mask=ok & (to_row[13] > 0.5),
+        mask=ok & (to_row[7] > 0.5),
     )
 
 
@@ -271,15 +335,10 @@ def _residual2_packed(trans: Affine3D, pm: PackedMatches) -> jax.Array:
     """e^T P e per match, [M] (hot metric, rrl_estimation_ICP_matching_all
     .txx:214-224)."""
     e = _apply_packed(trans, pm.fxyz) - pm.txyz  # [3, M]
-    r2 = jnp.zeros_like(pm.weight)
-    for i in range(3):
-        acc = (
-            pm.tproj[3 * i + 0] * e[0]
-            + pm.tproj[3 * i + 1] * e[1]
-            + pm.tproj[3 * i + 2] * e[2]
-        )
-        r2 = r2 + e[i] * acc
-    return jnp.maximum(r2, 0.0)
+    c1, c2 = _c1c2(pm.ttag)
+    a = e[0] ** 2 + e[1] ** 2 + e[2] ** 2
+    b = pm.tdir[0] * e[0] + pm.tdir[1] * e[1] + pm.tdir[2] * e[2]
+    return jnp.maximum(c1 * a + c2 * b * b, 0.0)
 
 
 def _scale_and_bt_weights_packed(
@@ -378,13 +437,18 @@ def _sample_stats_packed(
 
 
 def _as_packed_matches(s: StatsSample, with_from_projector: bool) -> PackedMatches:
+    del with_from_projector
+    tdir, ttag = _proj_rows_to_dir_tag(s.dst[4:13], s.dst[13] > 0.5)
+    fdir, ftag = _proj_rows_to_dir_tag(s.src[4:13], s.src[13] > 0.5)
     return PackedMatches(
         fxyz=s.src[0:3],
         fstr=s.src[3],
         txyz=s.dst[0:3],
         tstr=s.dst[3],
-        tproj=s.dst[4:13],
-        fproj=s.src[4:13] if with_from_projector else jnp.zeros_like(s.src[4:13]),
+        tdir=tdir,
+        ttag=ttag,
+        fdir=fdir,
+        ftag=ftag,
         weight=s.weight,
         mask=s.mask,
     )
@@ -444,7 +508,9 @@ def _normal_equations_packed(
     trans_n: Affine3D,
     fxyz_n: jax.Array,  # [3, M] normalized source points
     txyz_n: jax.Array,  # [3, M] normalized targets
-    proj: jax.Array,  # [9, M] error projector (idempotent)
+    pdir: jax.Array,  # [3, M] projector direction (decomposed P)
+    c1: jax.Array,  # [M] P = c1*I + c2*d d^T
+    c2: jax.Array,  # [M]
     weight: jax.Array,  # [M]
 ) -> tuple[jax.Array, jax.Array]:
     """AtA [12,12], Atb [12] via the G^T G factorization.
@@ -453,12 +519,20 @@ def _normal_equations_packed(
     G[(r, m), 4c+d] = sqrt(w_m) P_m[r, c] h_m[d] and y[(r, m)] = sqrt(w) q_r:
     AtA = G^T G, Atb = G^T y.  Built component-major as [12, 3M] so both
     contractions ride the MXU over the match lanes — this replaces the ijkl
-    einsum whose padded [*, M, 12, 12] intermediate cost ~40 ms at 40x4096."""
+    einsum whose padded [*, M, 12, 12] intermediate cost ~40 ms at 40x4096.
+    P's entries are rebuilt in registers from the decomposed (d, c1, c2)
+    form: P[r, c] = c1*(r==c) + c2*d_r*d_c."""
     M = weight.shape[0]
     sw = jnp.sqrt(jnp.maximum(weight, 0.0))
     xc = fxyz_n - trans_n.center[:, None]
     h = jnp.concatenate([xc, jnp.ones((1, M), xc.dtype)], axis=0)  # [4, M]
-    swP = sw[None, :] * proj  # [9, M]
+    swc1 = sw * c1
+    swd = (sw * c2)[None, :] * pdir  # [3, M]
+    swP = [
+        swd[r] * pdir[c] + (swc1 if r == c else 0.0)
+        for r in range(3)
+        for c in range(3)
+    ]  # 9 x [M], row-major
 
     # G[r] rows: [12, M] with entry (4c+d, m) = swP[3r+c, m] * h[d, m]
     G = jnp.stack(
@@ -520,14 +594,16 @@ def _estimate_ls_packed(
     w_f = jnp.where(fwd.weight >= WEIGHT_FLOOR, fwd.weight, 0.0)
     w_b = jnp.where(bwd.weight >= WEIGHT_FLOOR, bwd.weight, 0.0)
 
+    c1_f, c2_f = _c1c2(fwd.ttag)
     AtA_f, Atb_f = _normal_equations_packed(
-        trans_n, norm_m(fwd.fxyz), norm_f(fwd.txyz), fwd.tproj, w_f
+        trans_n, norm_m(fwd.fxyz), norm_f(fwd.txyz), fwd.tdir, c1_f, c2_f, w_f
     )
     # backward constraint on forward params (symmetric .txx:551-655): J at the
     # moving point (= backward `to`), target the fixed point (= backward
     # `from`), under the fixed feature's projector (= backward from-projector)
+    c1_b, c2_b = _c1c2(bwd.ftag)
     AtA_b, Atb_b = _normal_equations_packed(
-        trans_n, norm_m(bwd.txyz), norm_f(bwd.fxyz), bwd.fproj, w_b
+        trans_n, norm_m(bwd.txyz), norm_f(bwd.fxyz), bwd.fdir, c1_b, c2_b, w_b
     )
 
     AtA = AtA_f + AtA_b

@@ -1,4 +1,4 @@
-"""Microbench the ICP iteration body pieces at bench shapes (40 lanes).
+"""Microbench the packed ICP iteration body pieces at bench shapes (40 lanes).
 
 All device data is passed as jit ARGUMENTS (closure-captured arrays are
 baked as executable constants and re-shipped per dispatch — that floor was
@@ -37,16 +37,18 @@ def main():
     from lrr_tpu.config import EstimationConfig
     from lrr_tpu.estimation import register_candidate
     from lrr_tpu.estimation.icp import (
-        VoronoiGrid, _estimate_ls, _pack_features, _pack_source,
-        _sample_matches_fast, _scale_and_bt_weights, _weight_by_strength,
-        _weight_spatially, _normalization_stats, _weighted_error,
+        VoronoiGrid,
+        _estimate_ls_packed,
+        _pack_features,
+        _pack_source,
+        _sample_matches_packed,
+        _weighted_error_packed,
     )
     from lrr_tpu.models import Affine3D
-    from lrr_tpu.models.affine import covariance_unnormalize, normal_equations_terms
     from lrr_tpu.types import FeatureSet
     from lrr_tpu.ops.voronoi import build_feature_voronoi
 
-    L = 40
+    L = int(os.environ.get("PROF_LANES", "40"))
     N = 16384
     CAP = 4096
     rng = np.random.default_rng(0)
@@ -67,56 +69,43 @@ def main():
         k, (3,), minval=20.0, maxval=40.0)))(keys)
 
     pack_fn = jax.jit(lambda f, ks: jax.vmap(lambda k: _pack_source(k, f))(ks))
-    src = bench("pack_source x40", pack_fn, fs, keys)
+    src = bench(f"pack_source x{L}", pack_fn, fs, keys)
     dst = _pack_features(fs)
     number = jnp.full((L,), 1000, jnp.int32)
+    offs = jnp.zeros((L,), jnp.int32)
 
-    sample2 = jax.jit(lambda s, d, v, ks, tr, num: (
-        jax.vmap(lambda si, k, t, n: _sample_matches_fast(k, si, d, v, t, n, CAP))(s, ks, tr, num),
-        jax.vmap(lambda si, k, t, n: _sample_matches_fast(k, si, d, v, t.inverse(), n, CAP))(s, ks, tr, num),
+    def samp(si, v, t, n, o):
+        return _sample_matches_packed(None, si, dst, v, t, n, CAP, offset=o)
+
+    sample2 = jax.jit(lambda s, v, tr, num, o: (
+        jax.vmap(lambda si, t, n, oo: samp(si, v, t, n, oo))(s, tr, num, o),
+        jax.vmap(lambda si, t, n, oo: samp(
+            si, v, t.inverse(), n, oo))(s, tr, num, o),
     ))
-    fwd, bwd = bench("2x sample_matches_fast x40", sample2, src, dst, vor, keys, trans, number)
+    fwd, bwd = bench(f"2x sample_matches_packed x{L}", sample2,
+                     src, vor, trans, number, offs)
 
-    um = jnp.zeros((L,), bool)
+    sample1 = jax.jit(lambda s, v, tr, num, o: jax.vmap(
+        lambda si, t, n, oo: samp(si, v, t, n, oo))(s, tr, num, o))
+    bench(f"1x sample_matches_packed x{L}", sample1, src, vor, trans, number, offs)
 
-    scale_fn = jax.jit(lambda tr, m, u: jax.vmap(
-        lambda t, mm, uu: _scale_and_bt_weights(t, mm, uu, ecfg))(tr, m, u))
-    bench("scale+BT x40 (rms)", scale_fn, trans, fwd, um)
-    bench("scale+BT x40 (muse)", scale_fn, trans, fwd, ~um)
+    ls_fn = jax.jit(lambda tr, f, b: jax.vmap(
+        lambda t, ff, bb: _estimate_ls_packed(t, ff, bb, False, ecfg))(tr, f, b))
+    bench(f"estimate_ls_packed x{L} (rms)", ls_fn, trans, fwd, bwd)
 
-    wstr_fn = jax.jit(lambda m: jax.vmap(_weight_by_strength)(m))
-    bench("weight_by_strength x40", wstr_fn, fwd)
+    we_fn = jax.jit(lambda tr, m: jax.vmap(_weighted_error_packed)(tr, m))
+    bench(f"weighted_error_packed x{L}", we_fn, trans, fwd)
 
-    wsp_fn = jax.jit(lambda m: jax.vmap(
-        lambda mm: _weight_spatially(mm.to_xyz, mm, ecfg.spatial_falloff))(m))
-    bench("weight_spatially x40", wsp_fn, fwd)
-
-    ne_fn = jax.jit(lambda tr, m: jax.vmap(lambda t, mm: normal_equations_terms(
-        t, mm.from_xyz, mm.to_xyz, mm.to_projector, mm.weight))(tr, m))
-    bench("normal_equations x40", ne_fn, trans, fwd)
-
-    solve_fn = jax.jit(lambda ata, atb: (
-        jnp.linalg.pinv(ata, hermitian=True) @ atb[..., None]))
-    ata, atb = ne_fn(trans, fwd)
-    bench("pinv solve x40", solve_fn, ata, atb)
-
-    ls_fn = jax.jit(lambda tr, f, b, u: jax.vmap(
-        lambda t, ff, bb, uu: _estimate_ls(t, ff, bb, uu, ecfg))(tr, f, b, u))
-    bench("estimate_ls x40 (rms)", ls_fn, trans, fwd, bwd, um)
-
-    we_fn = jax.jit(lambda tr, m: jax.vmap(_weighted_error)(tr, m))
-    bench("weighted_error x40", we_fn, trans, fwd)
-
-    body_fn = jax.jit(lambda s, d, v, ks, tr, num, u: ls_fn(
-        tr, *sample2(s, d, v, ks, tr, num), u))
-    bench("full body x40 (sample+ls)", body_fn, src, dst, vor, keys, trans, number, um)
+    body_fn = jax.jit(lambda s, v, tr, num, o: ls_fn(
+        tr, *sample2(s, v, tr, num, o)))
+    bench(f"full body x{L} (sample+ls)", body_fn, src, vor, trans, number, offs)
 
     for mi in (2, 10, 30):
         cfg_i = EstimationConfig(max_matches=CAP, max_iterations=mi,
                                  min_region_features=100)
         reg = jax.jit(lambda f, v, tr, ks, c=cfg_i: jax.vmap(
             lambda t, k: register_candidate(f, f, v, v, t, c, k))(tr, ks))
-        bench(f"register_candidate x40 (max_iter={mi})", reg, fs, vor, trans, keys)
+        bench(f"register_candidate x{L} (max_iter={mi})", reg, fs, vor, trans, keys)
 
 
 if __name__ == "__main__":
