@@ -47,7 +47,7 @@ from lrr_tpu.config import EstimationConfig
 from lrr_tpu.models import Affine3D
 from lrr_tpu.models.affine import covariance_unnormalize
 from lrr_tpu.ops import robust
-from lrr_tpu.ops.voronoi import flat_take, lookup
+from lrr_tpu.ops.voronoi import flat_take, lookup, voxel_ids
 from lrr_tpu.types import SHEET, TUBE, FeatureSet
 
 WEIGHT_FLOOR = 1e-4  # accumulation skip threshold (symmetric .txx:469,576)
@@ -232,6 +232,27 @@ class _PackedSource(NamedTuple):
     order: jax.Array  # [n] the underlying permutation (for the stats pass)
 
 
+# Above this voxel count the fused grid (8 f32 per voxel) would exceed
+# ~256 MB of HBM and sampling falls back to the two-gather path.
+_FUSED_GRID_MAX_VOXELS = 8 * 1024 * 1024
+
+
+def _grid_rows(dst_packed: jax.Array, vor: VoronoiGrid) -> jax.Array:
+    """Bake the NN lookup into the Voronoi grid: rows[v] = packed row of the
+    voxel's nearest feature (zeros — tag 0 = invalid — for empty voxels).
+
+    The hot loop's two dependent gathers per match (scalar NN index from the
+    map, then the feature row) collapse into ONE 8-float row gather; the
+    scalar i32 gather was the single most expensive piece of the ICP
+    iteration (1.16 ms/direction at 40x4096 on v5e, scripts/profile_loop.py
+    — scalar gathers don't vectorize across lanes the way contiguous row
+    gathers do).  Candidate-invariant, so XLA hoists one copy out of the
+    vmapped candidate batch."""
+    flat = vor.index_vol.reshape(-1)
+    rows = flat_take(dst_packed, jnp.maximum(flat, 0))
+    return jnp.where((flat >= 0)[:, None], rows, 0.0)
+
+
 def _pack_source(key: jax.Array, fs: FeatureSet) -> _PackedSource:
     order, valid = _source_permutation(key, fs.mask)
     n = fs.capacity
@@ -283,6 +304,7 @@ def _sample_matches_packed(
     cap: int,
     with_from_projector: bool = False,
     offset: jax.Array | None = None,
+    dst_grid: jax.Array | None = None,
 ) -> PackedMatches:
     """Component-major twin of _sample_matches_fast: same selection
     semantics, returns [C, M] arrays (one [16, M] transpose per side; the
@@ -303,10 +325,17 @@ def _sample_matches_packed(
     sel = rank_ok & (win[7] > 0.5)
 
     mapped = _apply_packed(trans, fxyz)  # [3, M]
-    nn = lookup(vor.index_vol, vor.origin, vor.spacing, mapped.T)
-    ok = sel & (nn >= 0)
-    nn = jnp.maximum(nn, 0)
-    to_row = flat_take(dst_packed, nn).T  # [8, M]
+    if dst_grid is not None:
+        # fused path: one row gather straight from the baked grid (empty
+        # voxels carry tag 0 and drop out through the mask)
+        ids = voxel_ids(vor.index_vol.shape, vor.origin, vor.spacing, mapped.T)
+        to_row = flat_take(dst_grid, ids).T  # [8, M]
+        ok = sel & (to_row[7] > 0.5)
+    else:
+        nn = lookup(vor.index_vol, vor.origin, vor.spacing, mapped.T)
+        ok = sel & (nn >= 0)
+        to_row = flat_take(dst_packed, jnp.maximum(nn, 0)).T  # [8, M]
+        ok = ok & (to_row[7] > 0.5)
 
     # the from-side payload lives in the already-loaded window, so it is
     # carried unconditionally (with_from_projector kept for API parity)
@@ -321,7 +350,7 @@ def _sample_matches_packed(
         fdir=win[4:7],
         ftag=win[7],
         weight=jnp.where(ok, 1.0, 0.0),
-        mask=ok & (to_row[7] > 0.5),
+        mask=ok,
     )
 
 
@@ -656,6 +685,17 @@ def register_candidate(
     src_f = _pack_source(kpf, fixed)
     dst_f = _pack_features(fixed_targets)
     dst_m = _pack_features(moving_targets)
+    # bake NN rows into the Voronoi grids when they fit (see _grid_rows)
+    grid_f = (
+        _grid_rows(dst_f, fixed_vor)
+        if fixed_vor.index_vol.size <= _FUSED_GRID_MAX_VOXELS
+        else None
+    )
+    grid_m = (
+        _grid_rows(dst_m, moving_vor)
+        if moving_vor.index_vol.size <= _FUSED_GRID_MAX_VOXELS
+        else None
+    )
     perm_m = (src_m.order, src_m.valid_count)
     perm_f = (src_f.order, src_f.valid_count)
 
@@ -681,11 +721,11 @@ def register_candidate(
 
         fwd = _sample_matches_packed(
             None, src_m, dst_f, fixed_vor, c.trans, c.number_matches,
-            cap, offset=offs_f[it],
+            cap, offset=offs_f[it], dst_grid=grid_f,
         )
         bwd = _sample_matches_packed(
             None, src_f, dst_m, moving_vor, c.trans.inverse(), c.number_matches,
-            cap, with_from_projector=True, offset=offs_b[it],
+            cap, with_from_projector=True, offset=offs_b[it], dst_grid=grid_m,
         )
 
         new_trans, cov_w, fwd_w, bwd_w = _estimate_ls_packed(

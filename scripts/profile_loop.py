@@ -79,11 +79,21 @@ def main():
     number = jnp.full((L,), 1000, jnp.int32)
     offs = jnp.arange(K, dtype=jnp.int32) * 7
 
-    from lrr_tpu.estimation.icp import _ROW, _apply_packed
-    from lrr_tpu.ops.voronoi import flat_take, lookup
+    from lrr_tpu.estimation.icp import _ROW, _apply_packed, _grid_rows
+    from lrr_tpu.ops.voronoi import flat_take, lookup, voxel_ids
+
+    grid = _grid_rows(dst, vor)
 
     def one_lane_loop(variant, si, tr0, num):
         def body(i, tr):
+            if variant == "window+grid":
+                win = jax.lax.dynamic_slice(
+                    si.table, (offs[i], 0), (CAP, _ROW)).T
+                mapped = _apply_packed(tr, win[0:3])
+                ids = voxel_ids(vor.index_vol.shape, vor.origin, vor.spacing,
+                                mapped.T)
+                to_row = flat_take(grid, ids).T
+                return tr.replace(t=tr.t + 1e-9 * to_row[0:3, 0])
             if variant in ("window", "window+nn", "window+nn+row"):
                 win = jax.lax.dynamic_slice(
                     si.table, (offs[i], 0), (CAP, _ROW)).T
@@ -96,12 +106,12 @@ def main():
                 to_row = flat_take(dst, jnp.maximum(nn, 0)).T
                 return tr.replace(t=tr.t + 1e-9 * to_row[0:3, 0])
             fwd = _sample_matches_packed(None, si, dst, vor, tr, num, CAP,
-                                         offset=offs[i])
+                                         offset=offs[i], dst_grid=grid)
             if variant == "sample1":
                 return tr.replace(t=tr.t + 1e-9 * fwd.txyz[:, 0])
             bwd = _sample_matches_packed(None, si, dst, vor, tr.inverse(),
                                          num, CAP, with_from_projector=True,
-                                         offset=offs[i])
+                                         offset=offs[i], dst_grid=grid)
             if variant == "sample2":
                 return tr.replace(
                     t=tr.t + 1e-9 * (fwd.txyz[:, 0] + bwd.txyz[:, 0]))
@@ -134,7 +144,7 @@ def main():
 
         return jax.lax.fori_loop(0, K, body, tr0)
 
-    for variant in ("window", "window+nn", "window+nn+row",
+    for variant in ("window", "window+nn", "window+nn+row", "window+grid",
                     "sample1", "sample2", "sample2+bt", "sample2+bt+ne",
                     "ls", "full"):
         fn = jax.jit(lambda s, tr, num, v=variant: jax.vmap(
