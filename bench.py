@@ -43,7 +43,8 @@ def build_workload(size, n_queries, seed=11):
         KeypointConfig,
         PipelineConfig,
     )
-    from lrr_tpu.pipeline import prepare_pair, register_location
+    from lrr_tpu.pipeline import prepare_pair
+    from lrr_tpu.pipeline.registration import register_locations_staged
     from lrr_tpu.utils.synthetic import make_pair
     from lrr_tpu.verify import fit_rbf_classifier, scale_measurements
 
@@ -91,18 +92,16 @@ def build_workload(size, n_queries, seed=11):
         np.random.default_rng(1).uniform(lo, hi, (n_queries, 3)).astype(np.float32)
     )
 
-    # ctx and svm are jit ARGUMENTS, not closure captures: captured arrays
-    # are baked into the executable as constants and re-shipped on every
-    # dispatch (~25-70 ms for this context through the remote-TPU tunnel);
-    # passing them keeps them device-resident.
-    step_fn = jax.jit(
-        lambda c, s, qs, keys: jax.vmap(
-            lambda q, k: register_location(c, q, cfg, s, k)
-        )(qs, keys)
-    )
-
+    # ctx and svm enter the staged path's jits as ARGUMENTS, not closure
+    # captures: captured arrays are baked into the executable as constants
+    # and re-shipped on every dispatch (~25-70 ms for this context through
+    # the remote-TPU tunnel); passing them keeps them device-resident.
+    # register_locations_staged implements the reference's PASS-2 early exit
+    # (refine candidates in rank order, stop at the first verified —
+    # itkLocationRegistration.cxx:2332-2528) as batched waves.
     def step(qs, keys):
-        return step_fn(ctx, svm, qs, keys)
+        # staged path derives per-query/candidate keys from one base key
+        return register_locations_staged(ctx, qs, cfg, svm, keys[0])
 
     return step, queries, prepare_s
 

@@ -132,13 +132,9 @@ def _in_box(xyz: jax.Array, lo: jax.Array, hi: jax.Array) -> jax.Array:
     return jnp.all((xyz >= lo) & (xyz <= hi), axis=-1)
 
 
-def _register_one_candidate(
-    ctx: PairContext,
-    init: Affine3D,
-    query: jax.Array,
-    cfg: PipelineConfig,
-    key: jax.Array,
-):
+def _candidate_rois(ctx: PairContext, init: Affine3D, query: jax.Array, cfg):
+    """ROI masks + feature-count gate for one candidate
+    (FeaturesInROIs, itkLocationRegistration.cxx:1324-1360,1632)."""
     ecfg = cfg.estimation
     half = ecfg.roi_mm / 2.0
 
@@ -157,17 +153,19 @@ def _register_one_candidate(
     enough = (jnp.sum(m_sel) >= ecfg.min_region_features) & (
         jnp.sum(f_sel) >= ecfg.min_region_features
     )
+    return m_sel, f_sel, moving_lo, fixed_lo, enough, qm
 
-    moving_roi = ctx.moving_features.replace(mask=m_sel)
-    fixed_roi = ctx.fixed_features.replace(mask=f_sel)
 
-    k0, k0b, k1, k2 = jax.random.split(key, 4)
-
-    # PASS 1 ranking key: initial sheet/tube angle agreement
-    # (find_closest_euclidean + angle stats at the initial transform,
-    # itkLocationRegistration.cxx:2303-2319).  Tables are packed from the
-    # FULL feature sets (candidate-invariant, hoisted out of the vmap);
-    # the ROI enters via the sampling permutation.
+def _candidate_initial_angle(
+    ctx: PairContext, init: Affine3D, m_sel: jax.Array, cfg,
+    k0: jax.Array, k0b: jax.Array
+) -> jax.Array:
+    """PASS 1 ranking key: initial sheet/tube angle agreement
+    (find_closest_euclidean + angle stats at the initial transform,
+    itkLocationRegistration.cxx:2303-2319).  Tables are packed from the
+    FULL feature sets (candidate-invariant, hoisted out of the vmap);
+    the ROI enters via the sampling permutation."""
+    ecfg = cfg.estimation
     order0, valid0 = _source_permutation(k0, m_sel)
     s0 = _sample_stats_packed(
         k0b, order0, valid0,
@@ -177,7 +175,24 @@ def _register_one_candidate(
         jnp.asarray(ecfg.initial_matches), ecfg.max_matches,
     )
     sheet0, tube0 = _angle_stats_packed(init, s0, s0.weight)
-    initial_angle = 0.5 * (sheet0 + tube0)
+    return 0.5 * (sheet0 + tube0)
+
+
+def _refine_candidate(
+    ctx: PairContext,
+    init: Affine3D,
+    m_sel: jax.Array,
+    f_sel: jax.Array,
+    moving_lo: jax.Array,
+    fixed_lo: jax.Array,
+    cfg: PipelineConfig,
+    key: jax.Array,
+):
+    """ICP refinement + decision measurements for one candidate."""
+    ecfg = cfg.estimation
+    moving_roi = ctx.moving_features.replace(mask=m_sel)
+    fixed_roi = ctx.fixed_features.replace(mask=f_sel)
+    k1, k2 = key
 
     # sampling sources are the ROI subsets; match targets are the full sets
     # (itkLocationRegistration.cxx:1645-1650)
@@ -191,6 +206,24 @@ def _register_one_candidate(
         moving_targets=ctx.moving_features, fixed_targets=ctx.fixed_features,
     )
     meas = decision_measurements(res, cov_b, moving_lo, fixed_lo, ecfg.roi_mm)
+    return res, meas
+
+
+def _register_one_candidate(
+    ctx: PairContext,
+    init: Affine3D,
+    query: jax.Array,
+    cfg: PipelineConfig,
+    key: jax.Array,
+):
+    m_sel, f_sel, moving_lo, fixed_lo, enough, qm = _candidate_rois(
+        ctx, init, query, cfg
+    )
+    k0, k0b, k1, k2 = jax.random.split(key, 4)
+    initial_angle = _candidate_initial_angle(ctx, init, m_sel, cfg, k0, k0b)
+    res, meas = _refine_candidate(
+        ctx, init, m_sel, f_sel, moving_lo, fixed_lo, cfg, (k1, k2)
+    )
     return res, meas, initial_angle, enough, qm
 
 
@@ -245,6 +278,154 @@ def register_locations(
     if pad:
         out = jax.tree.map(lambda x: x[:Q], out)
     return out
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _pass1_jit(ctx, queries, cfg, qkeys):
+    """Candidate generation + PASS-1 ranking for a batch of queries.
+
+    Returns everything PASS 2 needs: the candidate initializations, the
+    angle-agreement rank order, and the pre-refinement usability gate
+    (candidate exists and both ROIs have enough features)."""
+
+    def one(query, key):
+        cands = generate_candidates(
+            query, ctx.moving_descriptors, ctx.fixed_descriptors,
+            cfg.indexing, nn_table=ctx.nn_table,
+        )
+        inits = initial_transforms(
+            cands, ctx.moving_descriptors, ctx.fixed_descriptors, query
+        )
+        C = cfg.indexing.num_candidates
+        ckeys = jax.random.split(key, C)
+
+        def setup(init, ck):
+            m_sel, _, _, _, enough, qm = _candidate_rois(ctx, init, query, cfg)
+            k0, k0b, _, _ = jax.random.split(ck, 4)
+            ang = _candidate_initial_angle(ctx, init, m_sel, cfg, k0, k0b)
+            return ang, enough, qm
+
+        angles, enough, qm = jax.vmap(setup)(inits, ckeys)
+        usable0 = cands.mask & enough
+        rank = jnp.argsort(jnp.where(usable0, angles, jnp.inf))
+        return cands.mask, inits, angles, enough, qm, rank, ckeys
+
+    return jax.vmap(one)(queries, qkeys)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _wave_jit(ctx, queries, cfg, svm, inits, keys):
+    """Refine ONE candidate per query (a PASS-2 wave) and verify it."""
+
+    def one(query, init, key):
+        m_sel, f_sel, mlo, flo, _, _ = _candidate_rois(ctx, init, query, cfg)
+        _, _, k1, k2 = jax.random.split(key, 4)
+        return _refine_candidate(
+            ctx, init, m_sel, f_sel, mlo, flo, cfg, (k1, k2)
+        )
+
+    res, meas = jax.vmap(one)(queries, inits, keys)
+    probs = predict_probability(svm, scale_measurements(meas))
+    return res, meas, probs
+
+
+def register_locations_staged(
+    ctx: PairContext,
+    queries: jax.Array,  # [Q, 3]
+    cfg: PipelineConfig,
+    svm: SvmModel,
+    key: jax.Array,
+) -> LocationResult:
+    """Batched registration with the reference's PASS-2 early exit.
+
+    The reference refines candidates SEQUENTIALLY in ascending initial-angle
+    order and stops at the first SVM-verified one
+    (itkLocationRegistration.cxx:2332-2528) — typically the rank-0 candidate.
+    `register_location` instead refines all candidates in parallel (maximal
+    information, ~C× the reference's work).  This serving path restores the
+    early exit while staying batched: wave w refines every query's rank-w
+    candidate under one vmap, the host checks verification, and later waves
+    run only while some query is still unresolved.  Refined candidates get
+    bit-identical results to `register_location` (same per-candidate RNG
+    streams); candidates the reference would never refine are left with
+    null results (verified=False, probability=0)."""
+    import numpy as np
+
+    queries = jnp.atleast_2d(jnp.asarray(queries))
+    Q = queries.shape[0]
+    C = cfg.indexing.num_candidates
+    qkeys = jax.random.split(key, Q)
+
+    cmask, inits, angles, enough, qm, rank, ckeys = _pass1_jit(
+        ctx, queries, cfg, qkeys
+    )
+    rank_h = np.asarray(rank)
+    usable0 = np.asarray(cmask & enough)
+
+    resolved = np.zeros(Q, bool)
+    selected = np.full(Q, -1, np.int64)
+    rows = np.arange(Q)
+
+    # per-candidate output buffers (defaults = "never refined")
+    A = np.tile(np.eye(3, dtype=np.float32), (Q, C, 1, 1))
+    t = np.zeros((Q, C, 3), np.float32)
+    center = np.zeros((Q, C, 3), np.float32)
+    covar = np.zeros((Q, C, 12, 12), np.float32)
+    meas_out = np.zeros((Q, C, 8), np.float32)
+    probs_out = np.zeros((Q, C), np.float32)
+    verified_out = np.zeros((Q, C), bool)
+    converged_out = np.zeros((Q, C), bool)
+    valid_out = np.zeros((Q, C), bool)
+    oscillated_out = np.zeros((Q, C), bool)
+
+    for w in range(C):
+        cand_idx = rank_h[:, w]
+        inits_w = jax.tree.map(lambda x: x[rows, cand_idx], inits)
+        keys_w = ckeys[rows, cand_idx]
+        res, meas, probs = _wave_jit(ctx, queries, cfg, svm, inits_w, keys_w)
+
+        valid_w = np.asarray(res.valid)
+        osc_w = np.asarray(res.oscillated)
+        probs_w = np.asarray(probs)
+        usable_w = usable0[rows, cand_idx] & valid_w & ~osc_w
+        ver_w = usable_w & (probs_w > cfg.verify.accept_probability)
+
+        # record this wave's results at the original candidate indices
+        A[rows, cand_idx] = np.asarray(res.trans.A)
+        t[rows, cand_idx] = np.asarray(res.trans.t)
+        center[rows, cand_idx] = np.asarray(res.trans.center)
+        covar[rows, cand_idx] = np.asarray(res.covar)
+        meas_out[rows, cand_idx] = np.asarray(meas)
+        probs_out[rows, cand_idx] = probs_w
+        verified_out[rows, cand_idx] = ver_w
+        converged_out[rows, cand_idx] = np.asarray(res.converged)
+        valid_out[rows, cand_idx] = valid_w
+        oscillated_out[rows, cand_idx] = osc_w
+
+        newly = (~resolved) & ver_w
+        selected[newly] = cand_idx[newly]
+        resolved |= ver_w
+        if resolved.all():
+            break
+
+    return LocationResult(
+        trans=Affine3D(
+            A=jnp.asarray(A), t=jnp.asarray(t), center=jnp.asarray(center)
+        ),
+        covar=jnp.asarray(covar),
+        measurements=jnp.asarray(meas_out),
+        probability=jnp.asarray(probs_out),
+        verified=jnp.asarray(verified_out),
+        converged=jnp.asarray(converged_out),
+        valid=jnp.asarray(valid_out),
+        oscillated=jnp.asarray(oscillated_out),
+        enough_features=enough,
+        candidate_mask=cmask,
+        initial_angle=angles,
+        rank=rank,
+        selected=jnp.asarray(selected),
+        query_mapped=qm,
+    )
 
 
 def register_location(

@@ -114,6 +114,55 @@ class TestPipeline:
         assert out.verified.shape == (cfg.indexing.num_candidates,)
 
 
+class TestRegisterLocationsStaged:
+    def test_staged_matches_full_on_refined_candidates(self, pair_ctx, rng):
+        """The PASS-2 early-exit serving path selects the same candidate as
+        the refine-everything path, and every candidate it does refine gets
+        bit-identical results (same per-candidate RNG streams)."""
+        from lrr_tpu.pipeline.registration import (
+            _register_locations_jit,
+            register_locations_staged,
+        )
+
+        ctx, fixed, moving, true, cfg = pair_ctx
+        svm = surrogate_svm(rng)
+        queries = jnp.asarray(
+            rng.uniform(22.0, 42.0, (3, 3)).astype(np.float32)
+        )
+        key = jax.random.key(7)
+        staged = register_locations_staged(ctx, queries, cfg, svm, key)
+        full = _register_locations_jit(
+            ctx, queries, cfg, svm, jax.random.split(key, 3)
+        )
+
+        # pre-refinement fields are identical
+        np.testing.assert_allclose(
+            np.asarray(staged.initial_angle), np.asarray(full.initial_angle),
+            rtol=1e-5, atol=1e-6,
+        )
+        sel_s = np.asarray(staged.selected)
+        sel_f = np.asarray(full.selected)
+        probs_s = np.asarray(staged.probability)
+        probs_f = np.asarray(full.probability)
+        ver_s = np.asarray(staged.verified)
+        rank_s = np.asarray(staged.rank)
+        for q in range(3):
+            # every refined candidate matches the full path exactly
+            refined = probs_s[q] != 0.0
+            assert refined.any()
+            np.testing.assert_allclose(
+                probs_s[q][refined], probs_f[q][refined], rtol=1e-4, atol=1e-5
+            )
+            if sel_f[q] >= 0:
+                # staged selects the first verified candidate in rank order;
+                # the full path's winner is verified there too
+                assert sel_s[q] >= 0
+                assert ver_s[q, sel_s[q]]
+                pos = int(np.where(rank_s[q] == sel_s[q])[0][0])
+                earlier = rank_s[q, :pos]
+                assert not ver_s[q, earlier].any()
+
+
 class TestRegisterLocationsBatched:
     def test_sharded_matches_unsharded(self, pair_ctx, rng):
         """Data-parallel query sharding over the mesh reproduces the
