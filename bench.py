@@ -17,10 +17,11 @@ this implementation stands in as the conservative CPU baseline; the
 reference's threaded C++ would be the same order of magnitude).
 
 Env knobs: BENCH_PLATFORM=cpu forces CPU; BENCH_SIZE (volume side, default
-64); BENCH_QUERIES (default 16 — measured throughput knee on v5e: 4→16
-queries raises locations/s slightly while 64 regresses, the vmapped
-while_loop running every lane to the slowest of 640); BENCH_REPS (default
-3); BENCH_WRITE_BASELINE=1 stores the measured rate as the CPU baseline.
+64); BENCH_QUERIES (default 64 — measured optimum on v5e with the staged
+PASS-2 early-exit path: 16→64 queries scales ~linearly because the first
+wave's cost is dominated by fixed overheads, while ≥128 adds straggler
+rounds for queries that don't verify at rank 0); BENCH_REPS (default 3);
+BENCH_WRITE_BASELINE=1 stores the measured rate as the CPU baseline.
 """
 
 import json
@@ -123,7 +124,7 @@ def main():
         pass
 
     size = int(os.environ.get("BENCH_SIZE", "64"))
-    n_queries = int(os.environ.get("BENCH_QUERIES", "16"))
+    n_queries = int(os.environ.get("BENCH_QUERIES", "64"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
     step, queries, prepare_s = build_workload(size, n_queries)

@@ -280,8 +280,7 @@ def register_locations(
     return out
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _pass1_jit(ctx, queries, cfg, qkeys):
+def _pass1_fn(ctx, queries, cfg, qkeys):
     """Candidate generation + PASS-1 ranking for a batch of queries.
 
     Returns everything PASS 2 needs: the candidate initializations, the
@@ -313,9 +312,20 @@ def _pass1_jit(ctx, queries, cfg, qkeys):
     return jax.vmap(one)(queries, qkeys)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _wave_jit(ctx, queries, cfg, svm, inits, keys):
-    """Refine ONE candidate per query (a PASS-2 wave) and verify it."""
+_pass1_jit = partial(jax.jit, static_argnames=("cfg",))(_pass1_fn)
+
+
+def _wave_fn(ctx, queries_all, cfg, svm, inits_all, ckeys_all, lanes, cand_idx):
+    """Refine one (query, candidate) pair per lane (a PASS-2 wave batch).
+
+    `lanes` selects queries (compaction: later waves run only still-
+    unresolved queries, padded to a power-of-2 bucket), `cand_idx` the
+    candidate within each query's [C] axis.  Both selections happen INSIDE
+    the jit so a wave costs one dispatch — through the remote-TPU tunnel
+    every extra dispatch is ~tens of ms."""
+    queries = queries_all[lanes]
+    inits = jax.tree.map(lambda x: x[lanes, cand_idx], inits_all)
+    keys = ckeys_all[lanes, cand_idx]
 
     def one(query, init, key):
         m_sel, f_sel, mlo, flo, _, _ = _candidate_rois(ctx, init, query, cfg)
@@ -327,6 +337,21 @@ def _wave_jit(ctx, queries, cfg, svm, inits, keys):
     res, meas = jax.vmap(one)(queries, inits, keys)
     probs = predict_probability(svm, scale_measurements(meas))
     return res, meas, probs
+
+
+_wave_jit = partial(jax.jit, static_argnames=("cfg",))(_wave_fn)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _pass1_wave0_jit(ctx, queries, cfg, svm, qkeys):
+    """PASS 1 fused with the first PASS-2 wave (every query's rank-0
+    candidate): one dispatch and one device->host readback cover the common
+    case where all queries verify immediately."""
+    p1 = _pass1_fn(ctx, queries, cfg, qkeys)
+    cmask, inits, angles, enough, qm, rank, ckeys = p1
+    lanes = jnp.arange(queries.shape[0])
+    w0 = _wave_fn(ctx, queries, cfg, svm, inits, ckeys, lanes, rank[:, 0])
+    return p1, w0
 
 
 def register_locations_staged(
@@ -356,15 +381,14 @@ def register_locations_staged(
     C = cfg.indexing.num_candidates
     qkeys = jax.random.split(key, Q)
 
-    cmask, inits, angles, enough, qm, rank, ckeys = _pass1_jit(
-        ctx, queries, cfg, qkeys
-    )
-    rank_h = np.asarray(rank)
-    usable0 = np.asarray(cmask & enough)
+    p1, w0 = _pass1_wave0_jit(ctx, queries, cfg, svm, qkeys)
+    cmask, inits, angles, enough, qm, rank, ckeys = p1
+    # ONE device->host transfer for everything PASS 2 reads on the host,
+    # including the fused first wave's results
+    rank_h, usable0, w0_h = jax.device_get((rank, cmask & enough, w0))
 
     resolved = np.zeros(Q, bool)
     selected = np.full(Q, -1, np.int64)
-    rows = np.arange(Q)
 
     # per-candidate output buffers (defaults = "never refined")
     A = np.tile(np.eye(3, dtype=np.float32), (Q, C, 1, 1))
@@ -378,35 +402,54 @@ def register_locations_staged(
     valid_out = np.zeros((Q, C), bool)
     oscillated_out = np.zeros((Q, C), bool)
 
-    for w in range(C):
-        cand_idx = rank_h[:, w]
-        inits_w = jax.tree.map(lambda x: x[rows, cand_idx], inits)
-        keys_w = ckeys[rows, cand_idx]
-        res, meas, probs = _wave_jit(ctx, queries, cfg, svm, inits_w, keys_w)
-
-        valid_w = np.asarray(res.valid)
-        osc_w = np.asarray(res.oscillated)
-        probs_w = np.asarray(probs)
-        usable_w = usable0[rows, cand_idx] & valid_w & ~osc_w
+    def absorb_wave(wave_h, lanes, cand_idx, act):
+        """Record one wave's (host) results and update resolution state.
+        Padding lanes duplicate act[0]'s computation — identical values."""
+        res_h, meas_h, probs_w = wave_h
+        valid_w = res_h.valid
+        osc_w = res_h.oscillated
+        usable_w = usable0[lanes, cand_idx] & valid_w & ~osc_w
         ver_w = usable_w & (probs_w > cfg.verify.accept_probability)
 
-        # record this wave's results at the original candidate indices
-        A[rows, cand_idx] = np.asarray(res.trans.A)
-        t[rows, cand_idx] = np.asarray(res.trans.t)
-        center[rows, cand_idx] = np.asarray(res.trans.center)
-        covar[rows, cand_idx] = np.asarray(res.covar)
-        meas_out[rows, cand_idx] = np.asarray(meas)
-        probs_out[rows, cand_idx] = probs_w
-        verified_out[rows, cand_idx] = ver_w
-        converged_out[rows, cand_idx] = np.asarray(res.converged)
-        valid_out[rows, cand_idx] = valid_w
-        oscillated_out[rows, cand_idx] = osc_w
+        A[lanes, cand_idx] = res_h.trans.A
+        t[lanes, cand_idx] = res_h.trans.t
+        center[lanes, cand_idx] = res_h.trans.center
+        covar[lanes, cand_idx] = res_h.covar
+        meas_out[lanes, cand_idx] = meas_h
+        probs_out[lanes, cand_idx] = probs_w
+        verified_out[lanes, cand_idx] = ver_w
+        converged_out[lanes, cand_idx] = res_h.converged
+        valid_out[lanes, cand_idx] = valid_w
+        oscillated_out[lanes, cand_idx] = osc_w
 
-        newly = (~resolved) & ver_w
-        selected[newly] = cand_idx[newly]
-        resolved |= ver_w
-        if resolved.all():
+        n = act.size
+        newly = ver_w[:n]
+        selected[act[newly]] = cand_idx[:n][newly]
+        resolved[act[newly]] = True
+
+    # wave 0 came fused with PASS 1
+    rows = np.arange(Q)
+    absorb_wave(w0_h, rows, rank_h[:, 0], rows)
+
+    # Per-query rank position advances independently; each round batches the
+    # still-unresolved queries, padded to a power-of-2 bucket so only
+    # O(log Q) distinct wave shapes ever compile (compiles are cached).
+    wave_pos = np.ones(Q, np.int64)
+    while True:
+        act = np.nonzero(~resolved & (wave_pos < C))[0]
+        if act.size == 0:
             break
+        bucket = min(Q, max(8, 1 << int(np.ceil(np.log2(act.size)))))
+        lanes = np.concatenate([act, np.repeat(act[:1], bucket - act.size)])
+        cand_idx = rank_h[lanes, wave_pos[lanes]]
+
+        wave = _wave_jit(
+            ctx, queries, cfg, svm, inits, ckeys,
+            jnp.asarray(lanes), jnp.asarray(cand_idx),
+        )
+        # ONE device->host transfer for the whole wave's results
+        absorb_wave(jax.device_get(wave), lanes, cand_idx, act)
+        wave_pos[act] += 1
 
     return LocationResult(
         trans=Affine3D(
