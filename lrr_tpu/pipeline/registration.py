@@ -88,6 +88,10 @@ class LocationResult(struct.PyTreeNode):
     rank: jax.Array  # [C] candidate order used for selection
     selected: jax.Array  # scalar index into candidates, -1 if none verified
     query_mapped: jax.Array  # [C, 3] query mapped to moving space
+    # [C] True where the candidate was actually refined (the staged path
+    # skips candidates the reference's early exit would never reach; the
+    # refine-everything path refines all of them)
+    refined: Optional[jax.Array] = None
 
 
 @partial(jax.jit, static_argnames=("kcfg",))
@@ -312,9 +316,6 @@ def _pass1_fn(ctx, queries, cfg, qkeys):
     return jax.vmap(one)(queries, qkeys)
 
 
-_pass1_jit = partial(jax.jit, static_argnames=("cfg",))(_pass1_fn)
-
-
 def _wave_fn(ctx, queries_all, cfg, svm, inits_all, ckeys_all, lanes, cand_idx):
     """Refine one (query, candidate) pair per lane (a PASS-2 wave batch).
 
@@ -401,6 +402,7 @@ def register_locations_staged(
     converged_out = np.zeros((Q, C), bool)
     valid_out = np.zeros((Q, C), bool)
     oscillated_out = np.zeros((Q, C), bool)
+    refined_out = np.zeros((Q, C), bool)
 
     def absorb_wave(wave_h, lanes, cand_idx, act):
         """Record one wave's (host) results and update resolution state.
@@ -421,6 +423,7 @@ def register_locations_staged(
         converged_out[lanes, cand_idx] = res_h.converged
         valid_out[lanes, cand_idx] = valid_w
         oscillated_out[lanes, cand_idx] = osc_w
+        refined_out[lanes, cand_idx] = True
 
         n = act.size
         newly = ver_w[:n]
@@ -435,8 +438,18 @@ def register_locations_staged(
     # still-unresolved queries, padded to a power-of-2 bucket so only
     # O(log Q) distinct wave shapes ever compile (compiles are cached).
     wave_pos = np.ones(Q, np.int64)
+    rows_all = np.arange(Q)
     while True:
-        act = np.nonzero(~resolved & (wave_pos < C))[0]
+        active = ~resolved & (wave_pos < C)
+        # Rank order places every pre-gated-unusable candidate (no candidate
+        # or too few ROI features — angle forced to +inf) at the tail, so the
+        # first unusable rank position exhausts the query: stop dispatching
+        # waves for it and leave the remaining candidates as null results
+        # (the reference's sequential loop would skip them the same way,
+        # itkLocationRegistration.cxx:2287-2332).
+        cur = rank_h[rows_all, np.minimum(wave_pos, C - 1)]
+        active &= usable0[rows_all, cur]
+        act = np.nonzero(active)[0]
         if act.size == 0:
             break
         bucket = min(Q, max(8, 1 << int(np.ceil(np.log2(act.size)))))
@@ -468,6 +481,7 @@ def register_locations_staged(
         rank=rank,
         selected=jnp.asarray(selected),
         query_mapped=qm,
+        refined=jnp.asarray(refined_out),
     )
 
 
@@ -525,4 +539,5 @@ def register_location(
         rank=order,
         selected=selected,
         query_mapped=qm,
+        refined=jnp.ones_like(verified),
     )

@@ -109,8 +109,12 @@ class TestPipeline:
         # corner of the volume: few features in ROI -> enough_features False
         query = jnp.asarray([2.0, 2.0, 2.0])
         out = register_location(ctx, query, cfg, svm, jax.random.key(2))
-        assert not np.asarray(out.enough_features).any() or int(out.selected) == -1 or True
-        # at minimum: no crash and mask consistent
+        enough = np.asarray(out.enough_features)
+        # candidates without enough ROI features must never verify
+        # (itkLocationRegistration.cxx:1632 gate)
+        assert not np.asarray(out.verified)[~enough].any()
+        if not enough.any():
+            assert int(out.selected) == -1
         assert out.verified.shape == (cfg.indexing.num_candidates,)
 
 
@@ -146,9 +150,10 @@ class TestRegisterLocationsStaged:
         probs_f = np.asarray(full.probability)
         ver_s = np.asarray(staged.verified)
         rank_s = np.asarray(staged.rank)
+        refined_s = np.asarray(staged.refined)
         for q in range(3):
             # every refined candidate matches the full path exactly
-            refined = probs_s[q] != 0.0
+            refined = refined_s[q]
             assert refined.any()
             np.testing.assert_allclose(
                 probs_s[q][refined], probs_f[q][refined], rtol=1e-4, atol=1e-5
