@@ -186,7 +186,11 @@ def cmd_register(args):
     from lrr_tpu.estimation import VoronoiGrid
     from lrr_tpu.io import read_descriptors, read_features
     from lrr_tpu.ops.voronoi import build_feature_voronoi
-    from lrr_tpu.pipeline import PairContext, register_location
+    from lrr_tpu.pipeline import (
+        PairContext,
+        register_location,
+        register_location_rigid,
+    )
     from lrr_tpu.pipeline.results import write_results
     from lrr_tpu.verify import parse_libsvm_model
     from lrr_tpu.verify.svm import SvmModel, fit_rbf_classifier
@@ -235,6 +239,28 @@ def cmd_register(args):
             if len(line.split()) >= 3
         ]
     for t, q in enumerate(queries):
+        if getattr(args, "model", "affine") == "rigid":
+            res, best, any_usable = register_location_rigid(
+                ctx, jnp.asarray(q), cfg, jax.random.key(t)
+            )
+            path = os.path.join(args.out, f"results{t:06d}_rigid.json")
+            with open(path, "w") as f:
+                json.dump(
+                    {
+                        "query": list(q),
+                        "candidate": int(best),
+                        "any_usable": bool(any_usable),
+                        "R": np.asarray(res.trans.A).tolist(),
+                        "t": np.asarray(res.trans.t).tolist(),
+                        "center": np.asarray(res.trans.center).tolist(),
+                        "converged": bool(res.converged),
+                        "weighted_error": float(res.weighted_error),
+                    },
+                    f, indent=1,
+                )
+            print(f"query {t}: rigid candidate {int(best)} "
+                  f"converged={bool(res.converged)}")
+            continue
         out = register_location(
             ctx, jnp.asarray(q), cfg, svm, jax.random.key(t)
         )
@@ -537,6 +563,12 @@ def main(argv=None):
     s.add_argument("--max-matches", type=int, default=8000)
     s.add_argument("--max-iterations", type=int, default=70)
     s.add_argument("--min-region-features", type=int, default=1000)
+    s.add_argument(
+        "--model", choices=("affine", "rigid"), default="affine",
+        help="transform family: affine (12 dof, full verify pipeline) or "
+        "rigid (6 dof refinement of the best indexed candidate, BASELINE "
+        "config 3)",
+    )
     s.set_defaults(fn=cmd_register)
 
     s = sub.add_parser("estimate")

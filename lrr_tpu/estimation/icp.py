@@ -578,15 +578,17 @@ def _normal_equations_packed(
     return AtA, Atb
 
 
-def _estimate_ls_packed(
+def _weighted_matches_packed(
     trans: Affine3D,
     fwd: PackedMatches,
     bwd: PackedMatches,
     use_muse: jax.Array,
     cfg: EstimationConfig,
-) -> tuple[Affine3D, jax.Array, PackedMatches, PackedMatches]:
-    """Component-major estimate_LS (symmetric .txx:698-918); semantics
-    identical to _estimate_ls above."""
+):
+    """The shared robust-weighting pipeline of estimate_LS (symmetric
+    .txx:698-728): robust scale + BT weights, coordinate normalization
+    constants, strength and spatial weighting, weight floor.  Returns the
+    weighted match sets plus the normalization frame (cm, cf, rm, rf)."""
     fwd = _scale_and_bt_weights_packed(trans, fwd, use_muse, cfg)
     bwd = _scale_and_bt_weights_packed(trans.inverse(), bwd, use_muse, cfg)
 
@@ -613,8 +615,6 @@ def _estimate_ls_packed(
     def norm_f(x):
         return (x - cf[:, None]) / rf
 
-    trans_n = trans.normalize(rm, rf, cm, cf)
-
     fwd = _weight_by_strength_packed(fwd)
     bwd = _weight_by_strength_packed(bwd)
     fwd = _weight_spatially_packed(norm_f(fwd.txyz), fwd, cfg.spatial_falloff)
@@ -622,6 +622,29 @@ def _estimate_ls_packed(
 
     w_f = jnp.where(fwd.weight >= WEIGHT_FLOOR, fwd.weight, 0.0)
     w_b = jnp.where(bwd.weight >= WEIGHT_FLOOR, bwd.weight, 0.0)
+    return fwd._replace(weight=w_f), bwd._replace(weight=w_b), cm, cf, rm, rf
+
+
+def _estimate_ls_packed(
+    trans: Affine3D,
+    fwd: PackedMatches,
+    bwd: PackedMatches,
+    use_muse: jax.Array,
+    cfg: EstimationConfig,
+) -> tuple[Affine3D, jax.Array, PackedMatches, PackedMatches]:
+    """Component-major estimate_LS (symmetric .txx:698-918)."""
+    fwd, bwd, cm, cf, rm, rf = _weighted_matches_packed(
+        trans, fwd, bwd, use_muse, cfg
+    )
+    w_f, w_b = fwd.weight, bwd.weight
+
+    def norm_m(x):
+        return (x - cm[:, None]) / rm
+
+    def norm_f(x):
+        return (x - cf[:, None]) / rf
+
+    trans_n = trans.normalize(rm, rf, cm, cf)
 
     c1_f, c2_f = _c1c2(fwd.ttag)
     AtA_f, Atb_f = _normal_equations_packed(
@@ -643,7 +666,111 @@ def _estimate_ls_packed(
     new_n = Affine3D.from_theta(theta, jnp.zeros(3, theta.dtype))
     new_w = new_n.unnormalize(rm, rf, cm, cf)
     cov_w = covariance_unnormalize(cov_n, rm, rf, cm, cf)
-    return new_w, cov_w, fwd._replace(weight=w_f), bwd._replace(weight=w_b)
+    return new_w, cov_w, fwd, bwd
+
+
+def _normal_equations_rigid_packed(
+    z: jax.Array,  # [3, M] mapped source points, centered at the rotation center
+    b: jax.Array,  # [3, M] residual targets (q - mapped)
+    pdir: jax.Array,  # [3, M] projector direction (decomposed P)
+    c1: jax.Array,  # [M]
+    c2: jax.Array,  # [M]
+    weight: jax.Array,  # [M]
+) -> tuple[jax.Array, jax.Array]:
+    """6x6 normal equations for a small-angle rigid increment (omega, dt)
+    acting on already-mapped points (the reference's incremental rigid
+    scheme, cdcl_estimation.txx:111-134; small-angle parameterization
+    cdcl_trans_rigid3d.cxx:157-160).
+
+    Residual model e = (omega x z + dt) - b with J = [-[z]x | I]; same
+    G^T G factorization as the affine system (P idempotent), built
+    component-major so the contraction rides the MXU over match lanes."""
+    M = weight.shape[0]
+    zero = jnp.zeros((M,), z.dtype)
+    # J columns (j = 0..5), each [3, M]
+    jcols = [
+        jnp.stack([zero, -z[2], z[1]]),
+        jnp.stack([z[2], zero, -z[0]]),
+        jnp.stack([-z[1], z[0], zero]),
+    ] + [
+        jnp.stack([jnp.where(r == j, 1.0, 0.0) * jnp.ones_like(zero) for r in range(3)])
+        for j in range(3)
+    ]
+    sw = jnp.sqrt(jnp.maximum(weight, 0.0))
+    # P J per column: c1*Jcol + c2 * d (d . Jcol)
+    rows = []
+    for col in jcols:
+        dot = pdir[0] * col[0] + pdir[1] * col[1] + pdir[2] * col[2]
+        pj = c1[None, :] * col + (c2 * dot)[None, :] * pdir
+        rows.append(sw[None, :] * pj)  # [3, M]
+    G = jnp.stack(rows, axis=0).reshape(6, 3 * M)  # [6, (r, m)]
+    AtA = jax.lax.dot_general(
+        G, G, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    y = (sw[None, :] * b).reshape(-1)
+    Atb = G @ y
+    return AtA, Atb
+
+
+def _estimate_ls_rigid_packed(
+    trans: Affine3D,
+    fwd: PackedMatches,
+    bwd: PackedMatches,
+    use_muse: jax.Array,
+    cfg: EstimationConfig,
+) -> tuple[Affine3D, jax.Array, PackedMatches, PackedMatches]:
+    """Rigid (6-dof) twin of _estimate_ls_packed: identical robust weighting
+    pipeline, then one small-angle increment on the mapped points,
+    orthogonalized and recomposed onto the current transform
+    (cdcl_estimation.txx:111-165, cdcl_trans_rigid3d.h:103-104).
+
+    Both directions constrain the same FORWARD increment: a backward match
+    (fixed p -> moving q) contributes forward(q) ~ p under p's projector,
+    exactly like the affine system (symmetric .txx:551-655)."""
+    from lrr_tpu.models.rigid import orthogonalize, skew
+
+    fwd, bwd, cm, cf, rm, rf = _weighted_matches_packed(
+        trans, fwd, bwd, use_muse, cfg
+    )
+
+    # mapped source points of both constraint families
+    y_f = _apply_packed(trans, fwd.fxyz)  # forward: mapped moving
+    y_b = _apply_packed(trans, bwd.txyz)  # backward: mapped moving (= to side)
+
+    # rotation center = weighted centroid of all mapped points (conditioning;
+    # decouples omega from dt the way coordinate normalization does for the
+    # affine system)
+    wsum = jnp.sum(fwd.weight) + jnp.sum(bwd.weight)
+    c = (
+        jnp.sum(y_f * fwd.weight[None, :], axis=1)
+        + jnp.sum(y_b * bwd.weight[None, :], axis=1)
+    ) / jnp.maximum(wsum, 1e-30)
+
+    c1_f, c2_f = _c1c2(fwd.ttag)
+    AtA_f, Atb_f = _normal_equations_rigid_packed(
+        y_f - c[:, None], fwd.txyz - y_f, fwd.tdir, c1_f, c2_f, fwd.weight
+    )
+    c1_b, c2_b = _c1c2(bwd.ftag)
+    AtA_b, Atb_b = _normal_equations_rigid_packed(
+        y_b - c[:, None], bwd.fxyz - y_b, bwd.fdir, c1_b, c2_b, bwd.weight
+    )
+    AtA = AtA_f + AtA_b
+    Atb = Atb_f + Atb_b
+
+    cov6 = jnp.linalg.pinv(AtA, hermitian=True)
+    x = cov6 @ Atb
+    omega, dt = x[:3], x[3:]
+
+    # recompose: new(x) = Rinc (T(x) - c) + c + dt
+    Rinc = orthogonalize(jnp.eye(3, dtype=x.dtype) + skew(omega))
+    new = Affine3D(
+        A=Rinc @ trans.A,
+        t=Rinc @ (trans.t - c) + c + dt,
+        center=trans.center,
+    )
+    # 6-dof increment covariance embedded in the [12,12] slot (top-left)
+    cov12 = jnp.zeros((12, 12), x.dtype).at[:6, :6].set(cov6)
+    return new, cov12, fwd, bwd
 
 
 def register_candidate(
@@ -657,8 +784,16 @@ def register_candidate(
     progress_callback=None,
     moving_targets: FeatureSet | None = None,
     fixed_targets: FeatureSet | None = None,
+    model: str = "affine",
 ) -> ICPResult:
     """Run the full symmetric robust ICP from one initialization.
+
+    `model` selects the transform family (static): "affine" solves the
+    12-dof normal equations per iteration; "rigid" estimates a 6-dof
+    small-angle increment on the mapped points and recomposes, the
+    reference's incremental rigid scheme (cdcl_estimation.txx:111-165,
+    BASELINE config 3).  Everything else — sampling, robust weighting,
+    convergence and the doubling schedule — is identical.
 
     `moving`/`fixed` are the SAMPLING sources (typically ROI-masked);
     `moving_targets`/`fixed_targets` are the match TARGET sets the Voronoi
@@ -679,6 +814,19 @@ def register_candidate(
         moving_targets = moving
     if fixed_targets is None:
         fixed_targets = fixed
+    if model not in ("affine", "rigid"):
+        raise ValueError(f"unknown transform model {model!r}")
+    if model == "rigid":
+        # the rigid family holds a true rotation by construction
+        # (cdcl_trans_rigid3d keeps R_ orthogonal); keypoint-frame
+        # initializations are only approximately orthogonal, so project
+        # onto the nearest rotation before refining
+        from lrr_tpu.models.rigid import orthogonalize
+
+        init = init.replace(A=orthogonalize(init.A))
+    estimate_ls = (
+        _estimate_ls_packed if model == "affine" else _estimate_ls_rigid_packed
+    )
 
     key, kpm, kpf, kof, kob = jax.random.split(key, 5)
     src_m = _pack_source(kpm, moving)
@@ -728,7 +876,7 @@ def register_candidate(
             cap, with_from_projector=True, offset=offs_b[it], dst_grid=grid_m,
         )
 
-        new_trans, cov_w, fwd_w, bwd_w = _estimate_ls_packed(
+        new_trans, cov_w, fwd_w, bwd_w = estimate_ls(
             c.trans, fwd, bwd, use_muse, cfg
         )
 
@@ -855,7 +1003,7 @@ def register_candidate(
         ks_b, perm_f[0], perm_f[1], t32_f, t32_m, moving_vor, inv,
         c.number_matches, cfg.max_matches,
     )
-    _, _, fwd_w, bwd_w = _estimate_ls_packed(
+    _, _, fwd_w, bwd_w = estimate_ls(
         c.trans,
         _as_packed_matches(fwd_s, with_from_projector=False),
         _as_packed_matches(bwd_s, with_from_projector=True),

@@ -3,7 +3,9 @@ from lrr_tpu.pipeline.registration import (
     PairContext,
     prepare_pair,
     register_location,
+    register_location_rigid,
     register_locations,
+    register_locations_staged,
 )
 
 __all__ = [
@@ -11,5 +13,7 @@ __all__ = [
     "PairContext",
     "prepare_pair",
     "register_location",
+    "register_location_rigid",
     "register_locations",
+    "register_locations_staged",
 ]

@@ -485,6 +485,55 @@ def register_locations_staged(
     )
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def register_location_rigid(
+    ctx: PairContext,
+    query: jax.Array,  # [3]
+    cfg: PipelineConfig,
+    key: jax.Array,
+):
+    """BASELINE config 3: Rigid3D ICP refinement from a single indexed
+    initialization.
+
+    Candidate generation + PASS-1 angle ranking exactly as the affine driver
+    (itkLocationRegistration.cxx:2230-2319), then ONE rigid refinement of the
+    best-ranked usable candidate via the incremental small-angle scheme
+    (cdcl_estimation.txx:111-165).  Returns (ICPResult, best_candidate_index,
+    any_usable); the result transform's A is a rotation by construction."""
+    cands = generate_candidates(
+        query, ctx.moving_descriptors, ctx.fixed_descriptors, cfg.indexing,
+        nn_table=ctx.nn_table,
+    )
+    inits = initial_transforms(
+        cands, ctx.moving_descriptors, ctx.fixed_descriptors, query
+    )
+    C = cfg.indexing.num_candidates
+    keys = jax.random.split(key, C + 1)
+    ckeys, krefine = keys[:C], keys[C]
+
+    def setup(init, ck):
+        m_sel, _, _, _, enough, _ = _candidate_rois(ctx, init, query, cfg)
+        k0, k0b, _, _ = jax.random.split(ck, 4)
+        ang = _candidate_initial_angle(ctx, init, m_sel, cfg, k0, k0b)
+        return ang, enough
+
+    angles, enough = jax.vmap(setup)(inits, ckeys)
+    usable = cands.mask & enough
+    best = jnp.argmin(jnp.where(usable, angles, jnp.inf))
+    init = jax.tree.map(lambda x: x[best], inits)
+
+    m_sel, f_sel, _, _, _, _ = _candidate_rois(ctx, init, query, cfg)
+    moving_roi = ctx.moving_features.replace(mask=m_sel)
+    fixed_roi = ctx.fixed_features.replace(mask=f_sel)
+    res = register_candidate(
+        moving_roi, fixed_roi, ctx.fixed_vor, ctx.moving_vor, init,
+        cfg.estimation, krefine,
+        moving_targets=ctx.moving_features, fixed_targets=ctx.fixed_features,
+        model="rigid",
+    )
+    return res, best, jnp.any(usable)
+
+
 def register_location(
     ctx: PairContext,
     query: jax.Array,  # [3]

@@ -47,7 +47,7 @@ def feature_set(xyz, strength, shape, proj, dirs, cap=None):
 
 
 def run_icp(rng, true_A, true_t, sheets=False, noise=0.3, outlier_frac=0.2,
-            init=None, cfg=None, n=1500):
+            init=None, cfg=None, n=1500, model="affine"):
     xyz, strength, shape, proj, dirs = make_cloud(rng, n, sheets=sheets)
     moving = feature_set(xyz, strength, shape, proj, dirs)
 
@@ -74,7 +74,8 @@ def run_icp(rng, true_A, true_t, sheets=False, noise=0.3, outlier_frac=0.2,
     cfg = cfg or EstimationConfig(max_matches=2048, max_iterations=40)
     init = init or Affine3D.identity()
     res = register_candidate(
-        moving, fixed, fixed_vor, moving_vor, init, cfg, jax.random.key(0)
+        moving, fixed, fixed_vor, moving_vor, init, cfg, jax.random.key(0),
+        model=model,
     )
     return res, moving, fixed
 
@@ -174,6 +175,52 @@ class TestICPJit:
         )
         t = np.asarray(res.trans.apply(jnp.zeros(3)))
         np.testing.assert_allclose(t, [1.0, 2.0, 0.5], atol=0.5)
+
+
+class TestRigid:
+    """register_candidate(model='rigid'): the incremental small-angle rigid
+    path (cdcl_estimation.txx:111-165, BASELINE config 3)."""
+
+    def test_recovers_rigid_motion(self, rng):
+        th = np.deg2rad(8.0)
+        Rz = np.array(
+            [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]],
+            np.float32,
+        )
+        c = np.array([25.0, 25.0, 25.0], np.float32)
+        t = (c - Rz @ c + np.array([3.0, -2.0, 1.5])).astype(np.float32)
+        res, *_ = run_icp(rng, Rz, t, model="rigid")
+        A = np.asarray(res.trans.A)
+        # the estimate stays exactly rigid: A^T A = I, det = +1
+        np.testing.assert_allclose(A.T @ A, np.eye(3), atol=1e-4)
+        assert np.linalg.det(A) > 0.9
+        pts = rng.uniform(5, 45, (100, 3)).astype(np.float32)
+        got = np.asarray(res.trans.apply(jnp.asarray(pts)))
+        want = pts @ Rz.T + t
+        err = np.linalg.norm(got - want, axis=1)
+        assert np.median(err) < 0.6, np.median(err)
+
+    def test_rigid_robust_to_outliers(self, rng):
+        t = np.array([4.0, 1.0, -2.0], np.float32)
+        res, *_ = run_icp(
+            rng, np.eye(3, dtype=np.float32), t, outlier_frac=0.35,
+            model="rigid",
+        )
+        A = np.asarray(res.trans.A)
+        np.testing.assert_allclose(A.T @ A, np.eye(3), atol=1e-4)
+        got = np.asarray(res.trans.apply(jnp.zeros(3)))
+        np.testing.assert_allclose(got, t, atol=0.7)
+
+    def test_rigid_covariance_slot(self, rng):
+        res, *_ = run_icp(
+            rng, np.eye(3, dtype=np.float32),
+            np.array([1.0, 0.0, 0.0], np.float32), model="rigid",
+        )
+        cov = np.asarray(res.covar)
+        assert cov.shape == (12, 12)
+        # 6-dof increment covariance occupies the top-left block
+        assert np.isfinite(cov[:6, :6]).all()
+        assert (cov[6:, :] == 0).all() and (cov[:, 6:] == 0).all()
 
 
 def test_progress_callback_invoked():

@@ -118,6 +118,31 @@ class TestPipeline:
         assert out.verified.shape == (cfg.indexing.num_candidates,)
 
 
+class TestRegisterLocationRigid:
+    def test_rigid_refinement_end_to_end(self, pair_ctx, rng):
+        """BASELINE config 3: rigid ICP refinement from the best indexed
+        initialization recovers the (rigid) ground-truth motion."""
+        from lrr_tpu.pipeline import register_location_rigid
+
+        ctx, fixed, moving, true, cfg = pair_ctx
+        query = jnp.asarray([32.0, 30.0, 33.0])
+        res, best, any_usable = register_location_rigid(
+            ctx, query, cfg, jax.random.key(3)
+        )
+        assert bool(any_usable)
+        A = np.asarray(res.trans.A)
+        np.testing.assert_allclose(A.T @ A, np.eye(3), atol=1e-4)
+        pts = np.asarray(
+            true.inverse().apply(
+                query + jnp.asarray(rng.uniform(-15, 15, (40, 3)).astype(np.float32))
+            )
+        )
+        got = np.asarray(res.trans.apply(jnp.asarray(pts)))
+        want = np.asarray(true.apply(jnp.asarray(pts)))
+        err = np.linalg.norm(got - want, axis=1)
+        assert np.median(err) < 1.5, np.median(err)
+
+
 class TestRegisterLocationsStaged:
     def test_staged_matches_full_on_refined_candidates(self, pair_ctx, rng):
         """The PASS-2 early-exit serving path selects the same candidate as
