@@ -220,6 +220,19 @@ def cmd_register(args):
         moving_vor=VoronoiGrid(*build_feature_voronoi(fs_m.xyz, fs_m.mask)),
         fixed_vor=VoronoiGrid(*build_feature_voronoi(fs_f.xyz, fs_f.mask)),
     )
+    if args.segment_moving and args.segment_fixed:
+        from lrr_tpu.pipeline.registration import attach_regions
+
+        ctx = attach_regions(
+            ctx,
+            _load_volume(args.segment_moving),
+            _load_volume(args.segment_fixed),
+        )
+        print("watershed region selection enabled")
+    elif args.segment_moving or args.segment_fixed:
+        raise SystemExit(
+            "--segment-moving and --segment-fixed must be given together"
+        )
     if args.svm_model:
         with open(args.svm_model) as f:
             svm = parse_libsvm_model(f.read())
@@ -569,6 +582,13 @@ def main(argv=None):
         "rigid (6 dof refinement of the best indexed candidate, BASELINE "
         "config 3)",
     )
+    s.add_argument(
+        "--segment-moving", default=None,
+        help="watershed label volume (mhd) for the moving side; with "
+        "--segment-fixed, estimation features are selected by growing whole "
+        "watershed regions (FeaturesInRegions) instead of an ROI box",
+    )
+    s.add_argument("--segment-fixed", default=None)
     s.set_defaults(fn=cmd_register)
 
     s = sub.add_parser("estimate")

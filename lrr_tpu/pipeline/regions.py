@@ -64,3 +64,54 @@ def select_features_in_regions(
     tau = sorted_rd[k - 1]
     tau = jnp.minimum(tau, max_distance_mm)
     return features.mask & (feat_region_d <= tau)
+
+
+def compact_feature_labels(
+    features: FeatureSet, labels, origin, spacing
+) -> jax.Array:
+    """Host-side stage-1 helper: per-feature watershed region ids, compacted
+    to [0, n_distinct) so the per-candidate selection can scatter into a
+    capacity-sized array instead of one sized by the label VOLUME (49M voxels
+    at reference scale).  Padding rows get id 0; they are masked out of every
+    downstream reduction."""
+    import numpy as np
+
+    lab = np.asarray(
+        feature_region_labels(
+            features, jnp.asarray(labels), jnp.asarray(origin), jnp.asarray(spacing)
+        )
+    )
+    lab = np.where(np.asarray(features.mask), lab, lab.min() if lab.size else 0)
+    _, compact = np.unique(lab, return_inverse=True)
+    return jnp.asarray(compact.astype(np.int32))
+
+
+def select_features_by_labels(
+    features: FeatureSet,
+    feat_labels: jax.Array,  # int32 [N] compact per-feature region ids
+    query_xyz: jax.Array,
+    target: int,
+    max_distance_mm: float = 100.0,
+) -> jax.Array:
+    """bool [N]: FeaturesInRegions on precomputed per-feature region labels
+    (rrl/itkLocationRegistration.cxx:1363-1522, target >=1500 at :1487).
+
+    Identical region-growing semantics to select_features_in_regions —
+    whole regions enter in order of their min feature distance to the query
+    until the cumulative count reaches `target` — but the scatter-min runs
+    over a feature-capacity-sized array (compact ids < N), so it is cheap
+    enough to evaluate per candidate inside the vmapped PASS-1 setup."""
+    n = feat_labels.shape[0]
+    d = jnp.linalg.norm(features.xyz - query_xyz, axis=-1)
+    d = jnp.where(features.mask, d, jnp.inf)
+
+    big = jnp.asarray(jnp.inf, d.dtype)
+    region_min = jnp.full((n,), big, d.dtype)
+    region_min = region_min.at[feat_labels].min(d, mode="drop")
+    feat_region_d = region_min[feat_labels]
+    feat_region_d = jnp.where(features.mask, feat_region_d, jnp.inf)
+
+    k = min(target, n)
+    tau = jnp.sort(feat_region_d)[k - 1]
+    tau = jnp.minimum(tau, max_distance_mm)
+    return features.mask & (feat_region_d <= tau)

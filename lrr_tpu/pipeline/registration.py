@@ -69,6 +69,12 @@ class PairContext(struct.PyTreeNode):
     # recomputes this per query, indexing_one_descriptor.cxx:1199-1224;
     # hoisting it is result-identical and saves a 195-d NN sweep per query)
     nn_table: Optional[tuple[jax.Array, jax.Array]] = None
+    # optional per-feature compact watershed region ids (int32 [N]); when
+    # present, candidate feature selection grows whole regions around the
+    # query instead of a plain ROI box (FeaturesInRegions,
+    # itkLocationRegistration.cxx:1363-1522) — see attach_regions
+    moving_region_labels: Optional[jax.Array] = None
+    fixed_region_labels: Optional[jax.Array] = None
 
 
 class LocationResult(struct.PyTreeNode):
@@ -132,13 +138,59 @@ def prepare_pair(
     )
 
 
+def attach_regions(
+    ctx: PairContext,
+    moving_labels: Volume,
+    fixed_labels: Volume,
+) -> PairContext:
+    """Attach watershed segmentations to a pair context: per-feature compact
+    region ids gathered from the label volumes (the reference reads the label
+    volume and grows regions per candidate, itkLocationRegistration.cxx:657,
+    1363-1522; gathering each feature's label ONCE at stage 1 is equivalent
+    and keeps the per-candidate work capacity-sized)."""
+    from lrr_tpu.pipeline.regions import compact_feature_labels
+
+    ml = compact_feature_labels(
+        ctx.moving_features, moving_labels.data,
+        moving_labels.origin, moving_labels.spacing,
+    )
+    fl = compact_feature_labels(
+        ctx.fixed_features, fixed_labels.data,
+        fixed_labels.origin, fixed_labels.spacing,
+    )
+    return ctx.replace(moving_region_labels=ml, fixed_region_labels=fl)
+
+
+def segment_pair(moving: Volume, fixed: Volume, ctx: PairContext) -> PairContext:
+    """Run watershed oversegmentation (WatershedSegmentation1.cxx canonical
+    params) on both volumes and attach the labels to the context."""
+    from lrr_tpu.ops.watershed import watershed_segmentation
+
+    ml = watershed_segmentation(moving.data)
+    fl = watershed_segmentation(fixed.data)
+    return attach_regions(
+        ctx,
+        Volume(data=ml, origin=moving.origin, spacing=moving.spacing),
+        Volume(data=fl, origin=fixed.origin, spacing=fixed.spacing),
+    )
+
+
 def _in_box(xyz: jax.Array, lo: jax.Array, hi: jax.Array) -> jax.Array:
     return jnp.all((xyz >= lo) & (xyz <= hi), axis=-1)
 
 
 def _candidate_rois(ctx: PairContext, init: Affine3D, query: jax.Array, cfg):
-    """ROI masks + feature-count gate for one candidate
-    (FeaturesInROIs, itkLocationRegistration.cxx:1324-1360,1632)."""
+    """ROI masks + feature-count gate for one candidate.
+
+    Without segmentation labels: plain ROI boxes (FeaturesInROIs,
+    itkLocationRegistration.cxx:1324-1360,1632).  With per-feature region
+    labels on the context: whole watershed regions grown around the query
+    until >= target_region_features (FeaturesInRegions, .cxx:1363-1522,
+    target at :1487).  The measurement ROI box (transfer-covariance
+    sampling) stays the 50 mm box either way, matching the reference
+    (.cxx:425-427,2793-2911)."""
+    from lrr_tpu.pipeline.regions import select_features_by_labels
+
     ecfg = cfg.estimation
     half = ecfg.roi_mm / 2.0
 
@@ -148,12 +200,22 @@ def _candidate_rois(ctx: PairContext, init: Affine3D, query: jax.Array, cfg):
     moving_lo, moving_hi = qm - half, qm + half
     fixed_lo, fixed_hi = query - half, query + half
 
-    m_sel = ctx.moving_features.mask & _in_box(
-        ctx.moving_features.xyz, moving_lo, moving_hi
-    )
-    f_sel = ctx.fixed_features.mask & _in_box(
-        ctx.fixed_features.xyz, fixed_lo, fixed_hi
-    )
+    if ctx.moving_region_labels is not None:
+        m_sel = select_features_by_labels(
+            ctx.moving_features, ctx.moving_region_labels, qm,
+            ecfg.target_region_features,
+        )
+        f_sel = select_features_by_labels(
+            ctx.fixed_features, ctx.fixed_region_labels, query,
+            ecfg.target_region_features,
+        )
+    else:
+        m_sel = ctx.moving_features.mask & _in_box(
+            ctx.moving_features.xyz, moving_lo, moving_hi
+        )
+        f_sel = ctx.fixed_features.mask & _in_box(
+            ctx.fixed_features.xyz, fixed_lo, fixed_hi
+        )
     enough = (jnp.sum(m_sel) >= ecfg.min_region_features) & (
         jnp.sum(f_sel) >= ecfg.min_region_features
     )

@@ -118,6 +118,54 @@ class TestPipeline:
         assert out.verified.shape == (cfg.indexing.num_candidates,)
 
 
+class TestWatershedRegions:
+    def test_region_selection_changes_subset_and_still_verifies(
+        self, pair_ctx, rng
+    ):
+        """BASELINE config 5: with watershed labels attached, estimation
+        features come from grown whole regions (FeaturesInRegions,
+        itkLocationRegistration.cxx:1363-1522) instead of the ROI box — the
+        subset demonstrably differs, and registration still verifies."""
+        from lrr_tpu.matching import generate_candidates, initial_transforms
+        from lrr_tpu.pipeline import register_location, segment_pair
+        from lrr_tpu.pipeline.registration import _candidate_rois
+
+        ctx, fixed, moving, true, cfg = pair_ctx
+        ctx_seg = segment_pair(moving, fixed, ctx)
+        assert ctx_seg.moving_region_labels is not None
+        # the phantom has several watershed regions, else growing == box
+        assert int(jnp.max(ctx_seg.fixed_region_labels)) > 3
+
+        query = jnp.asarray([32.0, 30.0, 33.0])
+        cands = generate_candidates(
+            query, ctx.moving_descriptors, ctx.fixed_descriptors,
+            cfg.indexing, nn_table=ctx.nn_table,
+        )
+        inits = initial_transforms(
+            cands, ctx.moving_descriptors, ctx.fixed_descriptors, query
+        )
+        init0 = jax.tree.map(lambda x: x[0], inits)
+        m_box, f_box, *_ = _candidate_rois(ctx, init0, query, cfg)
+        m_reg, f_reg, *_ = _candidate_rois(ctx_seg, init0, query, cfg)
+        assert (np.asarray(f_box) != np.asarray(f_reg)).any()
+        assert int(f_reg.sum()) >= cfg.estimation.min_region_features
+
+        svm = surrogate_svm(rng)
+        out = register_location(ctx_seg, query, cfg, svm, jax.random.key(0))
+        sel = int(out.selected)
+        assert sel >= 0, "no candidate verified with region selection"
+        tr = jax.tree.map(lambda a: a[sel], out.trans)
+        pts = np.asarray(
+            true.inverse().apply(
+                query + jnp.asarray(rng.uniform(-15, 15, (40, 3)).astype(np.float32))
+            )
+        )
+        got = np.asarray(tr.apply(jnp.asarray(pts)))
+        want = np.asarray(true.apply(jnp.asarray(pts)))
+        err = np.linalg.norm(got - want, axis=1)
+        assert np.median(err) < 1.5, np.median(err)
+
+
 class TestRegisterLocationRigid:
     def test_rigid_refinement_end_to_end(self, pair_ctx, rng):
         """BASELINE config 3: rigid ICP refinement from the best indexed
