@@ -773,6 +773,31 @@ def _estimate_ls_rigid_packed(
     return new, cov12, fwd, bwd
 
 
+def _match_sharder(mesh, match_axis: str):
+    """Sharding constraint applier for the per-match arrays: last axis (the
+    match lanes) split over `match_axis`, everything else replicated.
+
+    This is the production form of SURVEY §2.5 P3: the reference accumulates
+    per-thread AtA/Atb partials and reduces serially
+    (rrl_estimation_symmetric_ICP_matching_all.txx:774-877).  Here the match
+    window itself is sharded across devices and XLA's SPMD partitioner
+    derives the rest — each device gathers NN rows for its match shard from
+    the replicated Voronoi grid, reduces its partial G^T G on its own MXU,
+    and an all-reduce over ICI combines the 12x12 systems; the handful of
+    cross-match medians (MAD scales) lower to gathers of [M]-sized arrays
+    (32 KB — noise on ICI)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def constrain(a):
+        spec = P(*([None] * (a.ndim - 1) + [match_axis]))
+        return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec))
+
+    def apply(pm: PackedMatches) -> PackedMatches:
+        return PackedMatches(*[constrain(a) for a in pm])
+
+    return apply
+
+
 def register_candidate(
     moving: FeatureSet,
     fixed: FeatureSet,
@@ -785,6 +810,8 @@ def register_candidate(
     moving_targets: FeatureSet | None = None,
     fixed_targets: FeatureSet | None = None,
     model: str = "affine",
+    mesh=None,
+    match_axis: str = "mp",
 ) -> ICPResult:
     """Run the full symmetric robust ICP from one initialization.
 
@@ -804,6 +831,12 @@ def register_candidate(
     across vmapped candidates, so XLA hoists ONE copy out of the candidate
     batch and the NN-row gathers stay on the fast flat-index path (a
     per-candidate-masked table forces the generic batched-gather lowering).
+
+    `mesh` (with `match_axis` naming one of its axes) enables match-parallel
+    (mp) estimation of THIS single candidate across devices — the per-match
+    sampling, weighting and Gauss-Newton accumulation shard over the match
+    lanes (see _match_sharder).  Results match the unsharded run up to
+    float reduction order.
 
     `progress_callback(iteration, weighted_error, number_matches)` is the
     analog of the reference's per-iteration display callback
@@ -826,6 +859,9 @@ def register_candidate(
         init = init.replace(A=orthogonalize(init.A))
     estimate_ls = (
         _estimate_ls_packed if model == "affine" else _estimate_ls_rigid_packed
+    )
+    shard_matches = (
+        _match_sharder(mesh, match_axis) if mesh is not None else (lambda pm: pm)
     )
 
     key, kpm, kpf, kof, kob = jax.random.split(key, 5)
@@ -867,14 +903,14 @@ def register_candidate(
 
         weighted_error_before = c.weighted_error
 
-        fwd = _sample_matches_packed(
+        fwd = shard_matches(_sample_matches_packed(
             None, src_m, dst_f, fixed_vor, c.trans, c.number_matches,
             cap, offset=offs_f[it], dst_grid=grid_f,
-        )
-        bwd = _sample_matches_packed(
+        ))
+        bwd = shard_matches(_sample_matches_packed(
             None, src_f, dst_m, moving_vor, c.trans.inverse(), c.number_matches,
             cap, with_from_projector=True, offset=offs_b[it], dst_grid=grid_m,
-        )
+        ))
 
         new_trans, cov_w, fwd_w, bwd_w = estimate_ls(
             c.trans, fwd, bwd, use_muse, cfg
