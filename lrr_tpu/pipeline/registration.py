@@ -423,6 +423,7 @@ def register_locations_staged(
     cfg: PipelineConfig,
     svm: SvmModel,
     key: jax.Array,
+    mesh=None,
 ) -> LocationResult:
     """Batched registration with the reference's PASS-2 early exit.
 
@@ -435,14 +436,41 @@ def register_locations_staged(
     candidate under one vmap, the host checks verification, and later waves
     run only while some query is still unresolved.  Refined candidates get
     bit-identical results to `register_location` (same per-candidate RNG
-    streams); candidates the reference would never refine are left with
-    null results (verified=False, probability=0)."""
+    streams; on a mesh, identical up to partition-induced reduction order);
+    candidates the reference would never refine are left with null results
+    (verified=False, probability=0).
+
+    With `mesh`, the lane axis of every dispatch (the fused PASS-1 + first
+    wave over Q queries, and each straggler wave's bucket) is sharded across
+    all mesh devices — early exit AND data parallelism compose: each device
+    refines its slice of the wave, the host's resolution bookkeeping is
+    unchanged.  Wave buckets pad to device multiples instead of bare
+    powers of two."""
     import numpy as np
 
     queries = jnp.atleast_2d(jnp.asarray(queries))
-    Q = queries.shape[0]
+    Q0 = queries.shape[0]
     C = cfg.indexing.num_candidates
-    qkeys = jax.random.split(key, Q)
+    qkeys = jax.random.split(key, Q0)
+
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    qpad = (-Q0) % n_dev
+    if qpad:
+        queries = jnp.concatenate(
+            [queries, jnp.broadcast_to(queries[:1], (qpad, 3))], 0
+        )
+        kd = jax.random.key_data(qkeys)
+        kd = jnp.concatenate(
+            [kd, jnp.broadcast_to(kd[:1], (qpad,) + kd.shape[1:])], 0
+        )
+        qkeys = jax.random.wrap_key_data(kd)
+    Q = Q0 + qpad
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        lane_shard = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+        queries = jax.device_put(queries, lane_shard)
+        qkeys = jax.device_put(qkeys, lane_shard)
 
     p1, w0 = _pass1_wave0_jit(ctx, queries, cfg, svm, qkeys)
     cmask, inits, angles, enough, qm, rank, ckeys = p1
@@ -451,6 +479,7 @@ def register_locations_staged(
     rank_h, usable0, w0_h = jax.device_get((rank, cmask & enough, w0))
 
     resolved = np.zeros(Q, bool)
+    resolved[Q0:] = True  # padding lanes never dispatch straggler waves
     selected = np.full(Q, -1, np.int64)
 
     # per-candidate output buffers (defaults = "never refined")
@@ -515,18 +544,25 @@ def register_locations_staged(
         if act.size == 0:
             break
         bucket = min(Q, max(8, 1 << int(np.ceil(np.log2(act.size)))))
+        # pad the bucket to a device multiple so the wave shards evenly
+        bucket = max(bucket, n_dev) // n_dev * n_dev
+        if bucket < act.size:
+            bucket = -(-act.size // n_dev) * n_dev
         lanes = np.concatenate([act, np.repeat(act[:1], bucket - act.size)])
         cand_idx = rank_h[lanes, wave_pos[lanes]]
 
+        lanes_d, cand_d = jnp.asarray(lanes), jnp.asarray(cand_idx)
+        if mesh is not None:
+            lanes_d = jax.device_put(lanes_d, lane_shard)
+            cand_d = jax.device_put(cand_d, lane_shard)
         wave = _wave_jit(
-            ctx, queries, cfg, svm, inits, ckeys,
-            jnp.asarray(lanes), jnp.asarray(cand_idx),
+            ctx, queries, cfg, svm, inits, ckeys, lanes_d, cand_d,
         )
         # ONE device->host transfer for the whole wave's results
         absorb_wave(jax.device_get(wave), lanes, cand_idx, act)
         wave_pos[act] += 1
 
-    return LocationResult(
+    out = LocationResult(
         trans=Affine3D(
             A=jnp.asarray(A), t=jnp.asarray(t), center=jnp.asarray(center)
         ),
@@ -545,6 +581,9 @@ def register_locations_staged(
         query_mapped=qm,
         refined=jnp.asarray(refined_out),
     )
+    if qpad:
+        out = jax.tree.map(lambda x: x[:Q0], out)
+    return out
 
 
 @partial(jax.jit, static_argnames=("cfg",))

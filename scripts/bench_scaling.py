@@ -1,6 +1,7 @@
 """Data-parallel scaling benchmark for the registration step.
 
-Measures weak scaling of pipeline.register_locations over an N-device mesh
+Measures weak scaling of the staged early-exit serving path
+(pipeline.register_locations_staged) over an N-device mesh
 (N queries, one per device, vs 1 query on 1 device) and reports throughput
 and parallel efficiency per N.
 
@@ -42,7 +43,7 @@ def main():
         DescriptorConfig, EstimationConfig, FeatureConfig, IndexingConfig,
         KeypointConfig, PipelineConfig,
     )
-    from lrr_tpu.pipeline import prepare_pair, register_locations
+    from lrr_tpu.pipeline import prepare_pair, register_locations_staged
     from lrr_tpu.utils.synthetic import make_pair
     from lrr_tpu.verify import fit_rbf_classifier, scale_measurements
 
@@ -78,14 +79,14 @@ def main():
         queries = jnp.asarray(
             rng.uniform(0.3 * size, 0.7 * size, (n, 3)).astype(np.float32)
         )
-        out = register_locations(ctx, queries, cfg, svm, jax.random.key(0),
-                                 mesh=mesh)
+        out = register_locations_staged(ctx, queries, cfg, svm,
+                                        jax.random.key(0), mesh=mesh)
         jax.block_until_ready(out.selected)  # compile + warm
         ts = []
         for r in range(3):
             t0 = time.time()
-            out = register_locations(ctx, queries, cfg, svm,
-                                     jax.random.key(r + 1), mesh=mesh)
+            out = register_locations_staged(ctx, queries, cfg, svm,
+                                            jax.random.key(r + 1), mesh=mesh)
             jax.block_until_ready(out.selected)
             ts.append(time.time() - t0)
         rate = n / min(ts)

@@ -241,6 +241,58 @@ class TestRegisterLocationsStaged:
                 assert not ver_s[q, earlier].any()
 
 
+    def test_staged_mesh_matches_single_device(self, pair_ctx, rng):
+        """Early exit + data parallelism compose: the staged path on an
+        8-device mesh reproduces single-device staged decisions (same waves,
+        same refined set, same selections) and near-identical transforms.
+
+        Exact float equality is not demanded: partitioning changes per-lane
+        reduction order, and the ICP's discrete NN lookups amplify last-ulp
+        differences — both runs are equally valid registrations of the same
+        candidates."""
+        from jax.sharding import Mesh
+
+        from lrr_tpu.pipeline.registration import register_locations_staged
+
+        ctx, fixed, moving, true, cfg = pair_ctx
+        svm = surrogate_svm(rng)
+        queries = jnp.asarray(
+            rng.uniform(22.0, 42.0, (5, 3)).astype(np.float32)
+        )
+        key = jax.random.key(9)
+        plain = register_locations_staged(ctx, queries, cfg, svm, key)
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("dp",))
+        sharded = register_locations_staged(
+            ctx, queries, cfg, svm, key, mesh=mesh
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sharded.rank), np.asarray(plain.rank)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sharded.refined), np.asarray(plain.refined)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sharded.selected), np.asarray(plain.selected)
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded.probability), np.asarray(plain.probability),
+            atol=0.05,
+        )
+        # selected transforms map test points to the same place (sub-voxel)
+        pts = rng.uniform(22.0, 42.0, (50, 3)).astype(np.float32)
+        for q in range(5):
+            sel = int(np.asarray(plain.selected)[q])
+            if sel < 0:
+                continue
+            ta = jax.tree.map(lambda a: a[q, sel], plain.trans)
+            tb = jax.tree.map(lambda a: a[q, sel], sharded.trans)
+            d = np.linalg.norm(
+                np.asarray(ta.apply(jnp.asarray(pts)))
+                - np.asarray(tb.apply(jnp.asarray(pts))), axis=1,
+            )
+            assert np.median(d) < 0.5, np.median(d)
+
+
 class TestRegisterLocationsBatched:
     def test_sharded_matches_unsharded(self, pair_ctx, rng):
         """Data-parallel query sharding over the mesh reproduces the
