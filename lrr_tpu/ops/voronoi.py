@@ -45,23 +45,28 @@ _OFFSETS = [
 BIG = jnp.float32(1e30)
 
 
-def _shift_dynamic(arr: jax.Array, dz: int, dy: int, dx: int, step, fill) -> jax.Array:
+def _shift_dynamic(arr: jax.Array, dz, dy, dx, step, fill) -> jax.Array:
     """Shift by (dz, dy, dx) * step with constant fill (no wraparound).
-    `step` may be a traced scalar; the per-axis directions are static."""
+    Both the directions and the step may be traced scalars, so the
+    26-offset JFA sweep runs under ONE lax.fori_loop body — unrolling it
+    kept ~90 volume-sized temps live (20 GB at 384^3).
+
+    The traced-amount circular shift is a doubled concat + dynamic_slice:
+    jnp.roll with a traced shift lowers to a modular GATHER on TPU
+    (measured ~0.7 s per roll of a 64^3 volume — pathological), while
+    dynamic_slice with a traced start is a DMA."""
     out = arr
     for ax, d in ((0, dz), (1, dy), (2, dx)):
-        if d == 0:
-            continue
         size = arr.shape[ax]
         s = d * step
-        out = jnp.roll(out, s, axis=ax)
+        doubled = jnp.concatenate([out, out], axis=ax)
+        start = [0, 0, 0]
+        start[ax] = jnp.mod(-s, size)
+        out = jax.lax.dynamic_slice(doubled, start, arr.shape)
         pos_shape = [1, 1, 1]
         pos_shape[ax] = size
         pos = jnp.arange(size, dtype=jnp.int32).reshape(pos_shape)
-        if d > 0:
-            invalid = pos < s
-        else:
-            invalid = pos >= size + s
+        invalid = jnp.where(s >= 0, pos < s, pos >= size + s)
         out = jnp.where(invalid, fill, out)
     return out
 
@@ -80,21 +85,18 @@ def voronoi_map(
     D, H, W = shape_zyx
     n = xyz.shape[0]
 
-    # voxel-center physical coordinates
+    # voxel-center physical coordinates, COMPONENT-MAJOR: a [D,H,W,3] array
+    # tiles its size-3 trailing dim onto 128 lanes (42x padding — 29 GB at
+    # 384^3); three [D,H,W] arrays stay unpadded
     zz, yy, xx = jnp.meshgrid(
         jnp.arange(D, dtype=jnp.float32),
         jnp.arange(H, dtype=jnp.float32),
         jnp.arange(W, dtype=jnp.float32),
         indexing="ij",
     )
-    vox_phys = jnp.stack(
-        [
-            origin[0] + xx * spacing[0],
-            origin[1] + yy * spacing[1],
-            origin[2] + zz * spacing[2],
-        ],
-        axis=-1,
-    )  # [D, H, W, 3]
+    vox_x = origin[0] + xx * spacing[0]
+    vox_y = origin[1] + yy * spacing[1]
+    vox_z = origin[2] + zz * spacing[2]
 
     # seed pass: scatter each feature to its containing voxel (min index wins
     # deterministically on collision via sorted scatter)
@@ -113,25 +115,33 @@ def voronoi_map(
     seed = seed.at[upd].set(order.astype(jnp.int32), mode="drop")
     idx_vol = seed.reshape(D, H, W)
 
-    # pad feature table with a far sentinel for index -1
-    xyz_pad = jnp.concatenate([xyz, jnp.full((1, 3), 1e18, xyz.dtype)], 0)
-
-    def seed_pos(ivol):
-        return xyz_pad[jnp.where(ivol < 0, n, ivol)]
+    # pad feature table with a far sentinel for index -1; per-component
+    # gathers keep every intermediate [D,H,W] (lane-dense)
+    fx = jnp.concatenate([xyz[:, 0], jnp.full((1,), 1e18, xyz.dtype)])
+    fy = jnp.concatenate([xyz[:, 1], jnp.full((1,), 1e18, xyz.dtype)])
+    fz = jnp.concatenate([xyz[:, 2], jnp.full((1,), 1e18, xyz.dtype)])
 
     def dist2(ivol):
-        d = seed_pos(ivol) - vox_phys
-        return jnp.where(ivol < 0, BIG, jnp.sum(d * d, -1))
+        safe = jnp.where(ivol < 0, n, ivol)
+        dx = fx[safe] - vox_x
+        dy = fy[safe] - vox_y
+        dz = fz[safe] - vox_z
+        return jnp.where(ivol < 0, BIG, dx * dx + dy * dy + dz * dz)
+
+    offsets = jnp.asarray(_OFFSETS, jnp.int32)  # [26, 3]
 
     def jfa_pass(ivol, step):
-        best_i = ivol
-        best_d = dist2(ivol)
-        for dz, dy, dx in _OFFSETS:
-            cand = _shift_dynamic(ivol, dz, dy, dx, step, -1)
+        def offset_body(k, carry):
+            best_i, best_d = carry
+            o = offsets[k]
+            cand = _shift_dynamic(ivol, o[0], o[1], o[2], step, -1)
             cd = dist2(cand)
             take = cd < best_d
-            best_i = jnp.where(take, cand, best_i)
-            best_d = jnp.where(take, cd, best_d)
+            return jnp.where(take, cand, best_i), jnp.where(take, cd, best_d)
+
+        best_i, _ = jax.lax.fori_loop(
+            0, offsets.shape[0], offset_body, (ivol, dist2(ivol))
+        )
         return best_i
 
     max_dim = max(D, H, W)
@@ -150,39 +160,53 @@ def voronoi_map(
     return idx_vol
 
 
-@partial(jax.jit, static_argnames=("shape_zyx",))
+@partial(jax.jit, static_argnames=("shape_zyx", "chunk"))
 def voronoi_map_exact(
     xyz: jax.Array,  # [N, 3]
     mask: jax.Array,  # [N]
     origin: jax.Array,  # [3] (x, y, z)
     spacing: jax.Array,  # [3]
     shape_zyx: tuple[int, int, int],
+    chunk: int = 2048,
 ) -> jax.Array:
     """Exact nearest-feature-index volume by brute-force 1-NN over voxel
-    centers (ops.knn tiled MXU kernel).  Exact like the reference's
-    Danielsson map and compiles ~30x faster than the unrolled JFA; preferred
-    for maps up to tens of millions of voxels (build_feature_voronoi
-    dispatches)."""
-    from lrr_tpu.ops.knn import nn1
+    centers.  Exact like the reference's Danielsson map.
 
+    Streamed: voxel coordinates are derived on the fly from flat indices
+    per chunk (never materializing a [voxels, 3] array, whose size-3
+    trailing dim would tile onto 128 lanes — 5.8 GB at 11M voxels), and the
+    only large live buffer is one [chunk, N] distance tile on its way
+    through the MXU."""
     D, H, W = shape_zyx
-    zz, yy, xx = jnp.meshgrid(
-        jnp.arange(D, dtype=jnp.float32),
-        jnp.arange(H, dtype=jnp.float32),
-        jnp.arange(W, dtype=jnp.float32),
-        indexing="ij",
-    )
-    vox = jnp.stack(
-        [
-            origin[0] + xx * spacing[0],
-            origin[1] + yy * spacing[1],
-            origin[2] + zz * spacing[2],
-        ],
-        axis=-1,
-    ).reshape(-1, 3)
-    d2, idx = nn1(vox, xyz, mask)
-    idx = jnp.where(jnp.isfinite(d2), idx, -1)
-    return idx.reshape(D, H, W).astype(jnp.int32)
+    n_vox = D * H * W
+    n_chunks = -(-n_vox) // chunk if chunk else 1
+    n_chunks = (n_vox + chunk - 1) // chunk
+
+    pT = xyz.T.astype(jnp.float32)  # [3, N] — 3 sublanes, N lanes
+
+    def chunk_fn(c):
+        flat = c * chunk + jnp.arange(chunk)
+        zi = flat // (H * W)
+        yi = (flat // W) % H
+        xi = flat % W
+        qx = origin[0] + xi.astype(jnp.float32) * spacing[0]
+        qy = origin[1] + yi.astype(jnp.float32) * spacing[1]
+        qz = origin[2] + zi.astype(jnp.float32) * spacing[2]
+        # component-wise f32 differences: the matmul expansion runs the
+        # contraction through bf16 on the MXU by default, which flips
+        # argmins between near-equidistant features (exactness is the
+        # builder's contract, like the reference's Danielsson map)
+        dx = qx[:, None] - pT[0][None, :]
+        dy = qy[:, None] - pT[1][None, :]
+        dz = qz[:, None] - pT[2][None, :]
+        d2 = dx * dx + dy * dy + dz * dz
+        d2 = jnp.where(mask[None, :], d2, jnp.inf)
+        best = jnp.argmin(d2, axis=-1)
+        ok = jnp.isfinite(jnp.take_along_axis(d2, best[:, None], -1)[:, 0])
+        return jnp.where(ok, best, -1).astype(jnp.int32)
+
+    idx = jax.lax.map(chunk_fn, jnp.arange(n_chunks))
+    return idx.reshape(-1)[:n_vox].reshape(D, H, W)
 
 
 @jax.custom_batching.custom_vmap

@@ -80,6 +80,135 @@ def make_phantom(
     )
 
 
+def make_dense_phantom(
+    shape_zyx=(400, 350, 350),
+    origin=(0.0, 0.0, 0.0),
+    spacing=(1.0, 1.0, 1.0),
+    blobs_per_mm3: float = 1.0 / 4000.0,
+    seed: int = 0,
+    noise: float = 0.0,
+) -> Volume:
+    """Reference-scale phantom with lung-CT-like feature density.
+
+    A 1 mm chest CT yields tens of thousands of features; the toy phantom's
+    handful of primitives cannot.  This generator produces dense structure of
+    all three classes with O(voxels) work (a numpy loop per primitive would
+    be minutes at 49M voxels):
+
+      sheets  — iso-surfaces of a smooth low-frequency random field
+                (trilinearly upsampled coarse Gaussian noise);
+      tubes   — the intersection curves of two more such fields' zero sets
+                (exp(-(B^2 + C^2)/2w^2) concentrates on a 1D curve network);
+      corners — ~voxels*blobs_per_mm3 random impulses smoothed by a
+                separable Gaussian.
+
+    Built in jnp so it runs on-device.
+    """
+    rng = np.random.default_rng(seed)
+    D, H, W = shape_zyx
+
+    def coarse_noise(key_seed, cell):
+        cd, ch, cw = D // cell + 2, H // cell + 2, W // cell + 2
+        return np.random.default_rng(key_seed).standard_normal(
+            (cd, ch, cw)
+        ).astype(np.float32)
+
+    cell_a, cell_bc = 24, 32
+    A = coarse_noise(seed * 3 + 1, cell_a)
+    B = coarse_noise(seed * 3 + 2, cell_bc)
+    C = coarse_noise(seed * 3 + 3, cell_bc)
+
+    n_blobs = int(D * H * W * float(np.prod(spacing)) * blobs_per_mm3)
+    blob_idx = np.stack(
+        [
+            rng.integers(2, D - 2, n_blobs),
+            rng.integers(2, H - 2, n_blobs),
+            rng.integers(2, W - 2, n_blobs),
+        ],
+        axis=0,
+    ).astype(np.int32)
+    amp = rng.uniform(80.0, 220.0, n_blobs).astype(np.float32)
+    noise_vol = (
+        rng.standard_normal(shape_zyx).astype(np.float32) if noise > 0 else None
+    )
+
+    data = _assemble_dense(
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(C),
+        jnp.asarray(blob_idx), jnp.asarray(amp),
+        None if noise_vol is None else jnp.asarray(noise_vol),
+        shape=tuple(shape_zyx), cell_a=cell_a, cell_bc=cell_bc,
+        sigma_blob=1.5 / float(min(spacing)), noise=float(noise),
+    )
+    return Volume(
+        data=data,
+        origin=jnp.asarray(origin, jnp.float32),
+        spacing=jnp.asarray(spacing, jnp.float32),
+    )
+
+
+def _assemble_dense(
+    A, B, C, blob_idx, amp, noise_vol, *, shape, cell_a, cell_bc, sigma_blob,
+    noise,
+):
+    """One jitted program for the whole phantom (eager op-by-op dispatch costs
+    minutes through a remote-TPU tunnel)."""
+    import functools
+
+    import jax
+
+    @functools.partial(
+        jax.jit, static_argnames=("shape", "cell_a", "cell_bc", "sigma_blob", "noise")
+    )
+    def run(A, B, C, blob_idx, amp, noise_vol, *, shape, cell_a, cell_bc,
+            sigma_blob, noise):
+        from lrr_tpu.ops import filters
+
+        D, H, W = shape
+
+        def upsample(coarse, cell):
+            z = jnp.arange(D) / cell
+            y = jnp.arange(H) / cell
+            x = jnp.arange(W) / cell
+            z0 = jnp.floor(z).astype(jnp.int32)
+            y0 = jnp.floor(y).astype(jnp.int32)
+            x0 = jnp.floor(x).astype(jnp.int32)
+            fz = (z - z0)[:, None, None]
+            fy = (y - y0)[None, :, None]
+            fx = (x - x0)[None, None, :]
+
+            def g(dz, dy, dx):
+                return coarse[z0 + dz][:, y0 + dy][:, :, x0 + dx]
+
+            c00 = g(0, 0, 0) * (1 - fx) + g(0, 0, 1) * fx
+            c01 = g(0, 1, 0) * (1 - fx) + g(0, 1, 1) * fx
+            c10 = g(1, 0, 0) * (1 - fx) + g(1, 0, 1) * fx
+            c11 = g(1, 1, 0) * (1 - fx) + g(1, 1, 1) * fx
+            c0 = c00 * (1 - fy) + c01 * fy
+            c1 = c10 * (1 - fy) + c11 * fy
+            return c0 * (1 - fz) + c1 * fz
+
+        fa = upsample(A, cell_a)
+        fb = upsample(B, cell_bc)
+        fc = upsample(C, cell_bc)
+        vol = 100.0 / (1.0 + jnp.exp(-fa / 0.06))  # sheets at A = 0
+        vol = vol + 140.0 * jnp.exp(-(fb * fb + fc * fc) / (2 * 0.05**2))  # tubes
+
+        impulses = jnp.zeros((D, H, W), jnp.float32).at[
+            blob_idx[0], blob_idx[1], blob_idx[2]
+        ].add(amp)
+        blob = filters.gaussian_smooth(impulses, (sigma_blob,) * 3)
+        vol = vol + blob * (2 * np.pi * sigma_blob**2) ** 1.5  # unit peak * amp
+        if noise_vol is not None:
+            vol = vol + noise * noise_vol
+        return vol
+
+    return run(
+        A, B, C, blob_idx, amp, noise_vol,
+        shape=shape, cell_a=cell_a, cell_bc=cell_bc, sigma_blob=sigma_blob,
+        noise=noise,
+    )
+
+
 def make_pair(
     shape_zyx=(64, 64, 64),
     rotation_deg=4.0,
@@ -87,6 +216,7 @@ def make_pair(
     scale=1.0,
     seed: int = 0,
     noise: float = 0.0,
+    dense: bool = False,
 ):
     """Returns (fixed Volume, moving Volume, true Affine3D mapping
     moving->fixed physical points).
@@ -98,7 +228,10 @@ def make_pair(
     from lrr_tpu.models import Affine3D
     from lrr_tpu.ops.resample import warp_volume
 
-    fixed = make_phantom(shape_zyx, seed=seed, noise=noise)
+    if dense:
+        fixed = make_dense_phantom(shape_zyx, seed=seed, noise=noise)
+    else:
+        fixed = make_phantom(shape_zyx, seed=seed, noise=noise)
 
     th = np.deg2rad(rotation_deg)
     Rz = np.array(
@@ -123,15 +256,16 @@ def make_pair(
     )
 
     # moving(x) = fixed(true(x)) so that features at moving-space location x
-    # correspond to fixed-space location true(x)
-    moving_data = warp_volume(
-        fixed.data,
-        shape_zyx,
-        fixed.origin,
-        fixed.spacing,
-        lambda p: true.apply(p),
-        fixed.origin,
-        fixed.spacing,
-    )
+    # correspond to fixed-space location true(x); jitted as one program
+    # (eager dispatch through a remote-TPU tunnel costs seconds per op)
+    import jax
+
+    moving_data = jax.jit(
+        lambda data, origin, spacing, A, t, c: warp_volume(
+            data, tuple(shape_zyx), origin, spacing,
+            lambda p: Affine3D(A=A, t=t, center=c).apply(p),
+            origin, spacing,
+        )
+    )(fixed.data, fixed.origin, fixed.spacing, true.A, true.t, true.center)
     moving = Volume(data=moving_data, origin=fixed.origin, spacing=fixed.spacing)
     return fixed, moving, true
