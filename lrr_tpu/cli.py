@@ -472,18 +472,33 @@ def cmd_svm_scale(args):
 
 
 def cmd_svm_train(args):
-    """libsvm/svm-train.cpp: fit the RBF verifier, write libsvm model."""
+    """libsvm/svm-train.cpp: fit the RBF verifier, write libsvm model.
+
+    --solver smo (default) runs the C-SVC SMO dual solver with Platt
+    probability fitting — model-compatible with the reference's svm-train
+    (same dual optimum, SV set and decision values).  --solver klr is the
+    fast dense kernel-logistic surrogate."""
     from lrr_tpu.io.svmlight import read_svmlight
     from lrr_tpu.verify import fit_rbf_classifier
+    from lrr_tpu.verify.smo import train_c_svc
     from lrr_tpu.verify.svm import serialize_libsvm_model
 
     x, y = read_svmlight(args.data)
-    model = fit_rbf_classifier(
-        x, (y > 0).astype(np.float32), gamma=args.gamma, steps=args.steps
-    )
+    if args.solver == "smo":
+        model = train_c_svc(
+            x, y, C=args.cost, gamma=args.gamma, eps=args.epsilon,
+            probability=not args.no_probability,
+        )
+    else:
+        model = fit_rbf_classifier(
+            x, (y > 0).astype(np.float32), gamma=args.gamma, steps=args.steps
+        )
     with open(args.model, "w") as f:
         f.write(serialize_libsvm_model(model))
-    print(f"trained on {x.shape[0]} rows -> {args.model}")
+    print(
+        f"trained on {x.shape[0]} rows ({args.solver}, "
+        f"{model.sv.shape[0]} SVs) -> {args.model}"
+    )
 
 
 def cmd_svm_predict(args):
@@ -661,7 +676,11 @@ def main(argv=None):
     s.add_argument("data")
     s.add_argument("model")
     s.add_argument("-g", "--gamma", type=float, default=0.125)
-    s.add_argument("--steps", type=int, default=500)
+    s.add_argument("-c", "--cost", type=float, default=1.0)
+    s.add_argument("-e", "--epsilon", type=float, default=1e-3)
+    s.add_argument("--solver", choices=("smo", "klr"), default="smo")
+    s.add_argument("--no-probability", action="store_true")
+    s.add_argument("--steps", type=int, default=500, help="klr only")
     s.set_defaults(fn=cmd_svm_train)
 
     s = sub.add_parser("svm-predict")

@@ -114,3 +114,79 @@ class TestTraining:
         p = np.asarray(predict_probability(model, jnp.asarray(X[n:])))
         acc = ((p > 0.5) == (y[n:] > 0)).mean()
         assert acc > 0.85, acc
+
+
+class TestSmoParity:
+    """SMO C-SVC trainer vs a model trained by the REFERENCE's svm-train.
+
+    tests/data/svm_fixture.model was produced by compiling the vendored
+    libsvm (/root/reference/libsvm/svm.cpp, unmodified) and running
+    `svm-train -t 2 -c 1 -g 0.125 -e 0.001` on svm_fixture.svmlight
+    (reference printout: obj = -22.564310, rho = 0.092108, nSV = 43)."""
+
+    def _fixture(self):
+        import os
+
+        from lrr_tpu.io.svmlight import read_svmlight
+
+        d = os.path.join(os.path.dirname(__file__), "data")
+        X, y = read_svmlight(os.path.join(d, "svm_fixture.svmlight"))
+        with open(os.path.join(d, "svm_fixture.model")) as f:
+            ref = parse_libsvm_model(f.read())
+        return np.asarray(X, np.float64), np.asarray(y), ref
+
+    def test_dual_optimum_matches_reference(self):
+        from lrr_tpu.verify.smo import rbf_kernel, smo_solve
+
+        X, y, ref = self._fixture()
+        yy = np.where(y > 0, 1.0, -1.0)
+        K = rbf_kernel(X, 0.125)
+        alpha, rho, _ = smo_solve(K, yy, 1.0)
+        Q = (yy[:, None] * yy[None, :]) * K
+        obj = 0.5 * alpha @ Q @ alpha - alpha.sum()
+        assert abs(obj - (-22.564310)) < 1e-3, obj
+        assert abs(rho - ref.rho) < 2e-3, (rho, ref.rho)
+        assert int((alpha > 1e-12).sum()) == ref.sv.shape[0]
+
+    def test_decision_values_match_reference(self):
+        import jax.numpy as jnp
+
+        from lrr_tpu.verify.smo import train_c_svc
+        from lrr_tpu.verify.svm import decision_function
+
+        X, y, ref = self._fixture()
+        ours = train_c_svc(X, y, C=1.0, gamma=0.125, probability=False)
+        # reference svmlight keys are 1-based -> its sv has a dead col 0
+        ref_aligned = SvmModel(
+            gamma=ref.gamma, rho=ref.rho, sv=ref.sv[:, 1:],
+            sv_coef=ref.sv_coef, prob_a=ref.prob_a, prob_b=ref.prob_b,
+        )
+        f_ref = np.asarray(decision_function(ref_aligned, jnp.asarray(X, jnp.float32)))
+        f_our = np.asarray(decision_function(ours, jnp.asarray(X, jnp.float32)))
+        np.testing.assert_allclose(f_our, f_ref, atol=5e-3)
+        # identical hard predictions
+        np.testing.assert_array_equal(f_our > 0, f_ref > 0)
+
+    def test_probability_training_sane(self):
+        from lrr_tpu.verify.smo import train_c_svc
+        from lrr_tpu.verify.svm import predict_probability
+
+        import jax.numpy as jnp
+
+        X, y, ref = self._fixture()
+        m = train_c_svc(X, y, C=1.0, gamma=0.125, probability=True)
+        assert np.isfinite([m.prob_a, m.prob_b]).all()
+        assert m.prob_a < 0  # decreasing f -> lower P(aligned)
+        p = np.asarray(predict_probability(m, jnp.asarray(X, jnp.float32)))
+        acc = ((p > 0.5) == (y > 0)).mean()
+        assert acc > 0.9, acc
+
+    def test_roundtrip_through_model_format(self):
+        from lrr_tpu.verify.smo import train_c_svc
+        from lrr_tpu.verify.svm import serialize_libsvm_model
+
+        X, y, _ = self._fixture()
+        m = train_c_svc(X, y, probability=False)
+        m2 = parse_libsvm_model(serialize_libsvm_model(m))
+        np.testing.assert_allclose(m2.sv, m.sv, rtol=1e-5)
+        assert abs(m2.rho - m.rho) < 1e-5
