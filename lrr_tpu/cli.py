@@ -278,6 +278,12 @@ def cmd_register(args):
             ctx, jnp.asarray(q), cfg, svm, jax.random.key(t)
         )
         write_results(os.path.join(args.out, f"results{t:06d}"), out, q)
+        from lrr_tpu.pipeline.results import write_reference_artifacts
+
+        write_reference_artifacts(
+            os.path.join(args.out, "reference_format"), t, out, q,
+            roi_mm=cfg.estimation.roi_mm,
+        )
         sel = int(out.selected)
         print(f"query {t}: selected candidate {sel}")
 

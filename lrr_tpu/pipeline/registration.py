@@ -98,6 +98,11 @@ class LocationResult(struct.PyTreeNode):
     # skips candidates the reference's early exit would never reach; the
     # refine-everything path refines all of them)
     refined: Optional[jax.Array] = None
+    # [C, 3] the candidate's keypoint pair (for reference-format result
+    # files, which record both locations — itkLocationRegistration
+    # .cxx:1972-1973)
+    keypoint_moving: Optional[jax.Array] = None
+    keypoint_fixed: Optional[jax.Array] = None
 
 
 @partial(jax.jit, static_argnames=("kcfg",))
@@ -373,7 +378,9 @@ def _pass1_fn(ctx, queries, cfg, qkeys):
         angles, enough, qm = jax.vmap(setup)(inits, ckeys)
         usable0 = cands.mask & enough
         rank = jnp.argsort(jnp.where(usable0, angles, jnp.inf))
-        return cands.mask, inits, angles, enough, qm, rank, ckeys
+        kp_m = ctx.moving_descriptors.keypoints.xyz[cands.moving_idx]
+        kp_f = ctx.fixed_descriptors.keypoints.xyz[cands.fixed_idx]
+        return cands.mask, inits, angles, enough, qm, rank, ckeys, kp_m, kp_f
 
     return jax.vmap(one)(queries, qkeys)
 
@@ -411,7 +418,7 @@ def _pass1_wave0_jit(ctx, queries, cfg, svm, qkeys):
     candidate): one dispatch and one device->host readback cover the common
     case where all queries verify immediately."""
     p1 = _pass1_fn(ctx, queries, cfg, qkeys)
-    cmask, inits, angles, enough, qm, rank, ckeys = p1
+    cmask, inits, angles, enough, qm, rank, ckeys, kp_m, kp_f = p1
     lanes = jnp.arange(queries.shape[0])
     w0 = _wave_fn(ctx, queries, cfg, svm, inits, ckeys, lanes, rank[:, 0])
     return p1, w0
@@ -473,7 +480,7 @@ def register_locations_staged(
         qkeys = jax.device_put(qkeys, lane_shard)
 
     p1, w0 = _pass1_wave0_jit(ctx, queries, cfg, svm, qkeys)
-    cmask, inits, angles, enough, qm, rank, ckeys = p1
+    cmask, inits, angles, enough, qm, rank, ckeys, kp_m, kp_f = p1
     # ONE device->host transfer for everything PASS 2 reads on the host,
     # including the fused first wave's results
     rank_h, usable0, w0_h = jax.device_get((rank, cmask & enough, w0))
@@ -580,6 +587,8 @@ def register_locations_staged(
         selected=jnp.asarray(selected),
         query_mapped=qm,
         refined=jnp.asarray(refined_out),
+        keypoint_moving=kp_m,
+        keypoint_fixed=kp_f,
     )
     if qpad:
         out = jax.tree.map(lambda x: x[:Q0], out)
@@ -690,4 +699,6 @@ def register_location(
         selected=selected,
         query_mapped=qm,
         refined=jnp.ones_like(verified),
+        keypoint_moving=ctx.moving_descriptors.keypoints.xyz[cands.moving_idx],
+        keypoint_fixed=ctx.fixed_descriptors.keypoints.xyz[cands.fixed_idx],
     )

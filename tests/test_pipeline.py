@@ -118,6 +118,58 @@ class TestPipeline:
         assert out.verified.shape == (cfg.indexing.num_candidates,)
 
 
+class TestReferenceArtifacts:
+    def test_reference_format_files(self, pair_ctx, rng, tmp_path):
+        """write_reference_artifacts emits the reference's file set
+        (results%06d_%02d.txt + transform/transform_inverse ITK files,
+        itkLocationRegistration.cxx:1874-2030) with round-trippable
+        transforms."""
+        from lrr_tpu.pipeline.results import (
+            read_itk_transform,
+            write_reference_artifacts,
+        )
+
+        ctx, fixed, moving, true, cfg = pair_ctx
+        svm = surrogate_svm(rng)
+        query = jnp.asarray([32.0, 30.0, 33.0])
+        out = register_location(ctx, query, cfg, svm, jax.random.key(0))
+        paths = write_reference_artifacts(str(tmp_path), 0, out, query)
+        assert paths
+
+        sel = int(out.selected)
+        res = tmp_path / f"results{0:06d}_{sel:02d}.txt"
+        assert res.exists()
+        text = res.read_text()
+        for section in (
+            "Final estimated transform:",
+            "Final estimated covariance:",
+            "Final estimated covarianceJ from moving points:",
+            "covarianceJ from points evalues:",
+            "Fixed keypoint location:",
+            "Moving keypoint location:",
+            "Query point mapped:",
+            "Classification:",
+        ):
+            assert section in text, section
+
+        A, t, c = read_itk_transform(
+            str(tmp_path / f"transform{0:06d}_{sel:02d}.vtk")
+        )
+        tr = jax.tree.map(lambda a: a[sel], out.trans)
+        np.testing.assert_allclose(A, np.asarray(tr.A), atol=1e-6)
+        pts = rng.uniform(20, 40, (10, 3)).astype(np.float64)
+        ours = np.asarray(tr.apply(jnp.asarray(pts, jnp.float32)))
+        theirs = (pts - c) @ A.T + t
+        np.testing.assert_allclose(theirs, ours, atol=1e-3)
+
+        Ai, ti, ci = read_itk_transform(
+            str(tmp_path / f"transform_inverse{0:06d}_{sel:02d}.vtk")
+        )
+        # forward then inverse is identity
+        back = ((theirs - ci) @ Ai.T + ti)
+        np.testing.assert_allclose(back, pts, atol=1e-3)
+
+
 class TestWatershedRegions:
     def test_region_selection_changes_subset_and_still_verifies(
         self, pair_ctx, rng
