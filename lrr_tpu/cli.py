@@ -532,6 +532,12 @@ def cmd_svm_predict(args):
 
 
 def main(argv=None):
+    # multi-host entry (P7): must run before anything touches the XLA
+    # backend; a no-op unless LRR_COORDINATOR / LRR_DISTRIBUTED is set
+    from lrr_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
+
     p = argparse.ArgumentParser(prog="lrr_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -57,7 +57,19 @@ def run_batch(
 ) -> dict:
     """`mesh` shards each pair's query batch data-parallel across devices
     (pipeline.register_locations); `query_batch` bounds the queries compiled
-    into one step (fixed-shape program reuse across pairs)."""
+    into one step (fixed-shape program reuse across pairs).
+
+    Multi-host: when the LRR_COORDINATOR / LRR_DISTRIBUTED environment is
+    set (parallel.distributed), the jax.distributed runtime is initialized
+    and, if no mesh was passed, a process-spanning mesh over ALL hosts'
+    devices is used — dp over DCN with no further code changes."""
+    from lrr_tpu.parallel.distributed import (
+        global_mesh,
+        maybe_initialize_distributed,
+    )
+
+    if maybe_initialize_distributed() and mesh is None:
+        mesh = global_mesh()
     os.makedirs(out_dir, exist_ok=True)
     cache_dir = cache_dir or os.path.join(out_dir, "artifacts")
     os.makedirs(cache_dir, exist_ok=True)
