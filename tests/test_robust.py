@@ -1,5 +1,6 @@
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lrr_tpu.ops import robust
 
@@ -156,3 +157,74 @@ class TestGeometry:
         d2 = np.asarray(pairwise_sq_dists(jnp.asarray(a), jnp.asarray(b)))
         want = ((a[:, None] - b[None]) ** 2).sum(-1)
         np.testing.assert_allclose(d2, want, rtol=1e-4, atol=1e-4)
+
+
+def _exact_half_normal_order_stat_sq(n, num_grid=4000):
+    """E[u_(i:n)^2] for |N(0,1)| order statistics by numerical integration —
+    the defining integral behind VXL's rrel muse table (rrel_muset_obj's
+    expected-order-statistic normalization), used as an exact oracle.
+
+    E[u_(i:n)^2] = i * C(n, i) * int u^2 F(u)^(i-1) (1-F(u))^(n-i) f(u) du
+    """
+    from math import erf, lgamma
+
+    u = np.linspace(1e-6, 6.0, num_grid)
+    F = np.array([erf(x / np.sqrt(2.0)) for x in u])  # half-normal CDF
+    f = np.sqrt(2.0 / np.pi) * np.exp(-0.5 * u * u)
+
+    out = np.zeros(n)
+    logs = np.log(np.clip(F, 1e-300, None))
+    log1m = np.log(np.clip(1.0 - F, 1e-300, None))
+    for i in range(1, n + 1):
+        # density of the i-th order statistic:
+        # n!/((i-1)!(n-i)!) F^(i-1) (1-F)^(n-i) f
+        logdens = (
+            lgamma(n + 1) - lgamma(i) - lgamma(n - i + 1)
+            + (i - 1) * logs + (n - i) * log1m
+        )
+        dens = np.exp(logdens) * f
+        out[i - 1] = np.trapezoid(u * u * dens, u)
+    return out
+
+
+class TestMuseOrderStatisticParity:
+    """Pins muse_scale's half-normal-quantile approximation against the
+    exact order-statistic expectations (the integral VXL's muse table
+    stores).  VXL itself is unavailable here; the integral is its
+    definition."""
+
+    def _muse_exact(self, r, min_frac=0.1, max_frac=0.9, num_k=41):
+        r = np.sort(np.abs(r))
+        n = len(r)
+        eu2 = _exact_half_normal_order_stat_sq(n)
+        r2c = np.cumsum(r * r)
+        eu2c = np.cumsum(eu2)
+        best = np.inf
+        for frac in np.linspace(min_frac, max_frac, num_k):
+            k = min(max(int(frac * n) - 1, 1), n - 1)
+            best = min(best, r2c[k] / eu2c[k])
+        return np.sqrt(best)
+
+    @pytest.mark.parametrize("n,outlier_frac", [(100, 0.0), (100, 0.3),
+                                                (400, 0.0), (400, 0.45)])
+    def test_matches_exact_expectations(self, rng, n, outlier_frac):
+        from lrr_tpu.ops.robust import muse_scale
+
+        sigma = 2.0
+        r = np.abs(rng.standard_normal(n)) * sigma
+        nout = int(outlier_frac * n)
+        if nout:
+            r[:nout] = rng.uniform(10 * sigma, 40 * sigma, nout)
+        got = float(
+            muse_scale(jnp.asarray(np.abs(r), jnp.float32), jnp.ones(n, bool))
+        )
+        exact = self._muse_exact(r)
+        assert abs(got - exact) / exact < 0.02, (got, exact)
+
+    def test_exact_oracle_is_consistent(self, rng):
+        # sanity of the oracle itself: pure Gaussian residuals at scale s
+        # must yield a MUSE estimate near s
+        sigma = 3.0
+        r = np.abs(rng.standard_normal(500)) * sigma
+        exact = self._muse_exact(r)
+        assert abs(exact - sigma) / sigma < 0.12, exact
