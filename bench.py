@@ -47,7 +47,6 @@ def build_workload(size, n_queries, seed=11):
     from lrr_tpu.pipeline import prepare_pair
     from lrr_tpu.pipeline.registration import register_locations_staged
     from lrr_tpu.utils.synthetic import make_pair
-    from lrr_tpu.verify import fit_rbf_classifier, scale_measurements
 
     cfg = PipelineConfig(
         features=FeatureConfig(max_features=8192, contrast_radius_mm=100.0),
@@ -69,23 +68,10 @@ def build_workload(size, n_queries, seed=11):
     jax.block_until_ready(ctx.moving_features.xyz)
     prepare_s = time.time() - t0
 
-    # surrogate verifier (deterministic)
-    rng = np.random.default_rng(0)
-    n = 128
-    aligned = np.concatenate(
-        [rng.uniform(0.5, 1.2, (n, 1)), rng.uniform(0.1, 80.0, (n, 1)),
-         rng.uniform(5, 25, (n, 2)), rng.uniform(0.4, 1.1, (n, 1)),
-         rng.uniform(0.1, 70.0, (n, 1)), rng.uniform(4, 22, (n, 2))], axis=1,
-    ).astype(np.float32)
-    mis = np.concatenate(
-        [rng.uniform(1.5, 16, (n, 1)), rng.uniform(0.1, 139, (n, 1)),
-         rng.uniform(35, 62, (n, 2)), rng.uniform(1.2, 1.6, (n, 1)),
-         rng.uniform(0.1, 60, (n, 1)), rng.uniform(30, 60, (n, 2))], axis=1,
-    ).astype(np.float32)
-    X = np.concatenate([aligned, mis])
-    y = np.concatenate([np.ones(n), np.zeros(n)])
-    Xs = np.asarray(scale_measurements(jnp.asarray(X)))
-    svm = fit_rbf_classifier(Xs, y, steps=200)
+    # surrogate verifier (deterministic, scale-robust measurement ranges)
+    from lrr_tpu.verify.surrogate import surrogate_verifier
+
+    svm = surrogate_verifier(seed=0)
 
     lo = 0.3 * size
     hi = 0.7 * size
@@ -145,6 +131,15 @@ def main():
     best = min(times)
     rate = queries.shape[0] / best
 
+    sol = None
+    if os.environ.get("BENCH_SOL", "1") == "1":
+        from lrr_tpu.utils.sol import kernel_sol_report
+
+        try:
+            sol = kernel_sol_report()
+        except Exception as e:  # never let accounting break the bench line
+            sol = {"error": f"{type(e).__name__}: {e}"}
+
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     vs = None
     try:
@@ -168,16 +163,15 @@ def main():
                 indent=1,
             )
 
-    print(
-        json.dumps(
-            {
-                "metric": "locations_per_s",
-                "value": round(rate, 4),
-                "unit": "locations/s/chip",
-                "vs_baseline": round(vs, 3) if vs else None,
-            }
-        )
-    )
+    rec = {
+        "metric": "locations_per_s",
+        "value": round(rate, 4),
+        "unit": "locations/s/chip",
+        "vs_baseline": round(vs, 3) if vs else None,
+    }
+    if sol is not None:
+        rec["kernel_sol"] = sol
+    print(json.dumps(rec))
     print(
         f"# backend={jax.default_backend()} size={size} queries={queries.shape[0]} "
         f"reps={reps} best={best:.3f}s prepare={prepare_s:.1f}s",

@@ -50,7 +50,6 @@ def main():
         PairContext, register_locations_staged,
     )
     from lrr_tpu.utils.synthetic import make_pair
-    from lrr_tpu.verify import fit_rbf_classifier, scale_measurements
 
     shape = tuple(
         int(v) for v in os.environ.get("BENCH_SIZE", "400,350,350").split(",")
@@ -123,22 +122,33 @@ def main():
         moving_vor=mv, fixed_vor=fv, nn_table=table,
     )
 
-    # surrogate verifier
-    rng = np.random.default_rng(0)
-    X = np.concatenate([
-        np.concatenate(
-            [rng.uniform(0.5, 1.2, (128, 1)), rng.uniform(0.1, 80.0, (128, 1)),
-             rng.uniform(5, 25, (128, 2)), rng.uniform(0.4, 1.1, (128, 1)),
-             rng.uniform(0.1, 70.0, (128, 1)), rng.uniform(4, 22, (128, 2))], axis=1),
-        np.concatenate(
-            [rng.uniform(1.5, 16, (128, 1)), rng.uniform(0.1, 139, (128, 1)),
-             rng.uniform(35, 62, (128, 2)), rng.uniform(1.2, 1.6, (128, 1)),
-             rng.uniform(0.1, 60, (128, 1)), rng.uniform(30, 60, (128, 2))], axis=1),
-    ]).astype(np.float32)
-    y = np.concatenate([np.ones(128), np.zeros(128)])
-    svm = fit_rbf_classifier(
-        np.asarray(scale_measurements(jnp.asarray(X))), y, steps=200
-    )
+    # watershed region growing: at CT density a 50 mm ROI box holds only a
+    # few hundred features, below the reference's >=1000 gate — the
+    # reference's production path grows whole watershed regions to >=1500
+    # (itkLocationRegistration.cxx:1363-1522); BASELINE config 5
+    if os.environ.get("BENCH_SEGMENT", "1") == "1":
+        from lrr_tpu.ops.watershed import watershed_segmentation
+        from lrr_tpu.pipeline.registration import attach_regions
+        from lrr_tpu.types import Volume
+
+        lm = timed(
+            "watershed moving", lambda: watershed_segmentation(moving.data)
+        )
+        lf = timed(
+            "watershed fixed", lambda: watershed_segmentation(fixed.data)
+        )
+        ctx = attach_regions(
+            ctx,
+            Volume(data=lm, origin=moving.origin, spacing=moving.spacing),
+            Volume(data=lf, origin=fixed.origin, spacing=fixed.spacing),
+        )
+        print(f"    regions: moving {int(np.asarray(ctx.moving_region_labels).max())} "
+              f"fixed {int(np.asarray(ctx.fixed_region_labels).max())}")
+
+    # surrogate verifier (scale-robust measurement ranges)
+    from lrr_tpu.verify.surrogate import surrogate_verifier
+
+    svm = surrogate_verifier(seed=0)
 
     ext = [float(shape[2]), float(shape[1]), float(shape[0])]
     queries = jnp.asarray(

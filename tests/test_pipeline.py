@@ -34,24 +34,10 @@ def small_config():
 
 
 def surrogate_svm(rng):
-    """Verifier trained on synthetic aligned/misaligned measurement stats."""
-    n = 200
-    aligned = np.concatenate(
-        [rng.uniform(0.5, 1.2, (n, 1)), rng.uniform(0.1, 80.0, (n, 1)),
-         rng.uniform(5, 25, (n, 2)), rng.uniform(0.4, 1.1, (n, 1)),
-         rng.uniform(0.1, 70.0, (n, 1)), rng.uniform(4, 22, (n, 2))],
-        axis=1,
-    ).astype(np.float32)
-    misaligned = np.concatenate(
-        [rng.uniform(1.5, 16, (n, 1)), rng.uniform(0.1, 139, (n, 1)),
-         rng.uniform(35, 62, (n, 2)), rng.uniform(1.2, 1.6, (n, 1)),
-         rng.uniform(0.1, 60, (n, 1)), rng.uniform(30, 60, (n, 2))],
-        axis=1,
-    ).astype(np.float32)
-    X = np.concatenate([aligned, misaligned])
-    y = np.concatenate([np.ones(n), np.zeros(n)])
-    Xs = np.asarray(scale_measurements(jnp.asarray(X)))
-    return fit_rbf_classifier(Xs, y, steps=300)
+    """Shared scale-robust surrogate verifier (lrr_tpu.verify.surrogate)."""
+    from lrr_tpu.verify.surrogate import surrogate_verifier
+
+    return surrogate_verifier(seed=int(rng.integers(1 << 30)), n=200, steps=300)
 
 
 @pytest.fixture(scope="module")
