@@ -298,11 +298,36 @@ def cmd_estimate(args):
     from lrr_tpu.estimation.icp_classic import icp_classic
     from lrr_tpu.models import Affine3D
 
-    def load_pts(path):
+    def load_pts(path, dim=3):
         pts = np.loadtxt(path, dtype=np.float32)
         if pts.ndim == 1:
             pts = pts[None]
-        return pts[:, :3]
+        return pts[:, :dim]
+
+    if args.model == "similarity2d":
+        # the 2D demo path (estimate.cxx:86-110, cdcl_trans_similarity2d)
+        from lrr_tpu.estimation.similarity2d import icp_similarity2d
+        from lrr_tpu.models.similarity import Similarity2D
+
+        mov = load_pts(args.moving, 2)
+        fix = load_pts(args.fixed, 2)
+        res = icp_similarity2d(
+            jnp.asarray(mov), jnp.ones(len(mov), bool),
+            jnp.asarray(fix), jnp.ones(len(fix), bool),
+            Similarity2D.identity(),
+            max_iterations=args.iterations,
+        )
+        tr = res.trans
+        print(
+            f"converged={bool(res.converged)} rms={float(res.rms):.4f} "
+            f"scale={float(tr.scale):.6g} angle={float(tr.angle):.6g}"
+        )
+        p = np.concatenate([np.asarray(tr.A).reshape(-1), np.asarray(tr.t)])
+        print("A (row-major):", " ".join(f"{v:.6g}" for v in p[:4]))
+        print("t:", " ".join(f"{v:.6g}" for v in p[4:]))
+        if args.output:
+            np.savetxt(args.output, p[None])
+        return
 
     mov = load_pts(args.moving)
     fix = load_pts(args.fixed)
@@ -625,6 +650,11 @@ def main(argv=None):
         "--method",
         choices=["icp", "cdc", "cdc-transfer", "cdc-symmetric", "cdc-symmetric-transfer"],
         default="icp",
+    )
+    s.add_argument(
+        "--model", choices=("affine3d", "similarity2d"), default="affine3d",
+        help="similarity2d runs the 2D demo path (estimate.cxx 2D mode) on "
+        "2-column point files",
     )
     s.add_argument("--iterations", type=int, default=30)
     s.add_argument("--feature-cov", type=float, default=0.5)

@@ -25,7 +25,17 @@ class FeatureConfig:
     contrast_mad_k: float = 3.0   # threshold = median + k * MAD
     min_distance_mm: float = 2.0  # spatial sparsification (ExtractFeatures.cxx:486)
     max_features: int = 65536     # static capacity of the output set
+    # per-level NMS candidate budget (top-K score voxels fed to NMS /
+    # subvoxel / sparsify).  The reference has NO cap (it keeps every NMS
+    # survivor); with a fixed-shape top-k the budget must exceed the final
+    # capacity or large volumes bias toward the strongest structures.
+    # None => 2 * max_features.
+    max_candidates_per_level: Optional[int] = None
     resample_spacing_mm: float = 1.0  # isotropic resample (ExtractFeatures.cxx:257)
+
+    @property
+    def candidates_per_level(self) -> int:
+        return self.max_candidates_per_level or 2 * self.max_features
 
 
 @dataclasses.dataclass(frozen=True)

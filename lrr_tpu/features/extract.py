@@ -408,7 +408,7 @@ def _detect_features_jit(
     data: jax.Array, origin: jax.Array, *, spacing_t: tuple, cfg: FeatureConfig
 ) -> FeatureSet:
     level_sets = []
-    per_level_cap = cfg.max_features
+    per_level_cap = cfg.candidates_per_level
     shrink_by_level = {0: 4, 1: 2, 2: 1}
     for level in cfg.used_levels:
         d, sp = data, spacing_t

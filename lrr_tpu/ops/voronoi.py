@@ -276,7 +276,7 @@ def build_feature_voronoi(
     margin_mm: float = 2.0,
     max_shape: int = 512,
     shape_bucket: int = 32,
-    exact_max_voxels: int = 32 * 1024 * 1024,
+    exact_max_voxels: int = 64 * 1024 * 1024,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Build a Voronoi map over the (host-computed) feature bounding box at
     `spacing_mm` (reference uses a 1 mm grid, compute_distance_map

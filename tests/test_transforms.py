@@ -216,3 +216,60 @@ class TestSimilarity2D:
         x = rng.standard_normal((7, 2)).astype(np.float32)
         back = tr.inverse().apply(tr.apply(jnp.asarray(x)))
         np.testing.assert_allclose(np.asarray(back), x, atol=1e-5)
+
+
+class TestSimilarity2DICP:
+    """2D demo path (cdcl/examples/estimate.cxx:86-110): robust similarity
+    ICP on raw 2D point sets."""
+
+    def test_recovers_similarity(self, rng):
+        from lrr_tpu.estimation.similarity2d import icp_similarity2d
+        from lrr_tpu.models.similarity import Similarity2D
+
+        # motion within the 1-NN basin for an unstructured cloud (displacement
+        # below the mean point spacing; larger motions make nearest-neighbor
+        # matching uninformative on uniform random points regardless of the
+        # estimator — real 2D contours carry structure)
+        n = 400
+        xy = rng.uniform(0, 40, (n, 2)).astype(np.float32)
+        s, phi = 1.03, np.deg2rad(5.0)
+        A = s * np.array(
+            [[np.cos(phi), -np.sin(phi)], [np.sin(phi), np.cos(phi)]],
+            np.float32,
+        )
+        c = np.array([20.0, 20.0], np.float32)
+        t = (c - A @ c + np.array([2.0, -1.0])).astype(np.float32)
+        fixed = (xy @ A.T + t).astype(np.float32)
+        fixed += 0.15 * rng.standard_normal(fixed.shape).astype(np.float32)
+        nout = n // 5
+        fixed[:nout] += rng.uniform(10, 25, (nout, 2)).astype(np.float32)
+
+        res = icp_similarity2d(
+            jnp.asarray(xy), jnp.ones(n, bool),
+            jnp.asarray(fixed), jnp.ones(n, bool),
+            Similarity2D.identity(),
+        )
+        pts = rng.uniform(5, 35, (100, 2)).astype(np.float32)
+        got = np.asarray(res.trans.apply(jnp.asarray(pts)))
+        want = pts @ A.T + t
+        err = np.linalg.norm(got - want, axis=1)
+        assert np.median(err) < 0.3, np.median(err)
+        assert abs(float(res.trans.scale) - s) < 0.02
+
+    def test_cli_similarity2d(self, rng, tmp_path):
+        from lrr_tpu import cli
+
+        xy = rng.uniform(0, 30, (200, 2)).astype(np.float32)
+        t = np.array([3.0, -2.0], np.float32)
+        mov = tmp_path / "mov.txt"
+        fix = tmp_path / "fix.txt"
+        out = tmp_path / "params.txt"
+        np.savetxt(mov, xy)
+        np.savetxt(fix, xy + t)
+        cli.main([
+            "estimate", str(mov), str(fix), "--model", "similarity2d",
+            "--output", str(out),
+        ])
+        p = np.loadtxt(out)
+        np.testing.assert_allclose(p[:4], [1, 0, 0, 1], atol=0.01)
+        np.testing.assert_allclose(p[4:], t, atol=0.3)
