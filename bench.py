@@ -100,6 +100,37 @@ def main():
     if platform:
         jax.config.update("jax_platforms", platform)
 
+    if os.environ.get("BENCH_PROFILE") == "reference":
+        # the REFERENCE workload: ~350x350x400 @1 mm dense pair, reference
+        # constants (65536 features, 20 candidates, >=1000 region gate,
+        # 8000 matches, 100-neighbor descriptors), watershed region
+        # growing, GT-calibrated verifier.  Per-stage breakdown goes to
+        # stderr; the canonical one-line JSON is printed here.
+        import importlib.util as ilu
+
+        spec = ilu.spec_from_file_location(
+            "profile_reference_scale",
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "scripts", "profile_reference_scale.py",
+            ),
+        )
+        mod = ilu.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        rec = mod.run()
+        print(
+            json.dumps(
+                {
+                    "metric": "locations_per_s_reference_scale",
+                    "value": rec["locations_per_s"],
+                    "unit": "locations/s/chip",
+                    "vs_baseline": None,
+                    "reference_profile": rec,
+                }
+            )
+        )
+        return
+
     # persistent compilation cache: compiles dominate wall-clock through the
     # remote-compile tunnel; cache them across runs
     try:

@@ -320,9 +320,33 @@ def _detect_level_jit(
 
     cand_ok = (score >= SCORE_FLOOR) & keep
     flat_score = jnp.where(cand_ok, score, -jnp.inf).reshape(-1)
-    k = min(max_candidates, flat_score.shape[0])
-    top_scores, flat_idx = jax.lax.top_k(flat_score, k)
     D, H, W = score.shape
+    # Spatially-allocated candidate budget: a single global top-k
+    # concentrates the budget on the strongest structures once the volume
+    # dwarfs it (at 49M voxels a 131k global top-k starves whole lung
+    # regions of features; the reference has NO cap — it keeps every NMS
+    # survivor, itkFeatureImageFilter.txx:619-785).  Splitting the budget
+    # uniformly over z-slabs keeps coverage spatially uniform at any
+    # volume size while staying one fixed-shape program.
+    nb = max(1, min(16, D // 16))
+    k = min(max_candidates, flat_score.shape[0])
+    if nb > 1:
+        k_b = -(-k // nb)
+        pad_rows = (-D) % nb
+        padded = jnp.pad(
+            flat_score.reshape(D, H * W), ((0, pad_rows), (0, 0)),
+            constant_values=-jnp.inf,
+        ).reshape(nb, -1)
+        slab_scores, slab_idx = jax.lax.top_k(padded, k_b)  # [nb, k_b]
+        slab_vox = padded.shape[1]
+        flat_idx = (
+            slab_idx + (jnp.arange(nb) * slab_vox)[:, None]
+        ).reshape(-1)[:k]
+        top_scores = slab_scores.reshape(-1)[:k]
+        # padding rows land beyond D*H*W and carry -inf scores
+        flat_idx = jnp.minimum(flat_idx, D * H * W - 1)
+    else:
+        top_scores, flat_idx = jax.lax.top_k(flat_score, k)
     zi = flat_idx // (H * W)
     yi = (flat_idx // W) % H
     xi = flat_idx % W

@@ -84,7 +84,7 @@ def make_dense_phantom(
     shape_zyx=(400, 350, 350),
     origin=(0.0, 0.0, 0.0),
     spacing=(1.0, 1.0, 1.0),
-    blobs_per_mm3: float = 1.0 / 4000.0,
+    blobs_per_mm3: float = 1.0 / 2000.0,
     seed: int = 0,
     noise: float = 0.0,
 ) -> Volume:
@@ -113,20 +113,37 @@ def make_dense_phantom(
             (cd, ch, cw)
         ).astype(np.float32)
 
-    cell_a, cell_bc = 24, 32
+    cell_a, cell_bc = 18, 24
     A = coarse_noise(seed * 3 + 1, cell_a)
     B = coarse_noise(seed * 3 + 2, cell_bc)
     C = coarse_noise(seed * 3 + 3, cell_bc)
 
-    n_blobs = int(D * H * W * float(np.prod(spacing)) * blobs_per_mm3)
-    blob_idx = np.stack(
+    # Structures are confined to a central ellipsoid (~30% of the FOV):
+    # real chest CT concentrates features in the lung fields, so the LOCAL
+    # feature density there is several times the whole-volume average —
+    # descriptor neighborhoods (>=100 features within 30 mm,
+    # itkDescriptorMeshFilter.txx:577) only make sense at that local density.
+    semi = 0.42 * np.asarray([D, H, W], np.float64)
+    ctr = 0.5 * np.asarray([D - 1, H - 1, W - 1], np.float64)
+
+    n_try = int(
+        D * H * W * float(np.prod(spacing)) * blobs_per_mm3 / 0.31
+    )
+    cand = np.stack(
         [
-            rng.integers(2, D - 2, n_blobs),
-            rng.integers(2, H - 2, n_blobs),
-            rng.integers(2, W - 2, n_blobs),
+            rng.integers(2, D - 2, n_try),
+            rng.integers(2, H - 2, n_try),
+            rng.integers(2, W - 2, n_try),
         ],
         axis=0,
     ).astype(np.int32)
+    inside = (
+        ((cand[0] - ctr[0]) / semi[0]) ** 2
+        + ((cand[1] - ctr[1]) / semi[1]) ** 2
+        + ((cand[2] - ctr[2]) / semi[2]) ** 2
+    ) <= 1.0
+    blob_idx = cand[:, inside]
+    n_blobs = blob_idx.shape[1]
     amp = rng.uniform(80.0, 220.0, n_blobs).astype(np.float32)
     noise_vol = (
         rng.standard_normal(shape_zyx).astype(np.float32) if noise > 0 else None
@@ -192,6 +209,15 @@ def _assemble_dense(
         fc = upsample(C, cell_bc)
         vol = 100.0 / (1.0 + jnp.exp(-fa / 0.06))  # sheets at A = 0
         vol = vol + 140.0 * jnp.exp(-(fb * fb + fc * fc) / (2 * 0.05**2))  # tubes
+
+        # smooth ellipsoid envelope (lung-field analog) confining structure
+        semi = 0.42 * jnp.asarray([D, H, W], jnp.float32)
+        ctr = 0.5 * jnp.asarray([D - 1, H - 1, W - 1], jnp.float32)
+        ez = ((jnp.arange(D) - ctr[0]) / semi[0]) ** 2
+        ey = ((jnp.arange(H) - ctr[1]) / semi[1]) ** 2
+        ex = ((jnp.arange(W) - ctr[2]) / semi[2]) ** 2
+        r2 = ez[:, None, None] + ey[None, :, None] + ex[None, None, :]
+        vol = vol / (1.0 + jnp.exp((r2 - 1.0) / 0.02))
 
         impulses = jnp.zeros((D, H, W), jnp.float32).at[
             blob_idx[0], blob_idx[1], blob_idx[2]

@@ -47,3 +47,75 @@ def surrogate_verifier(seed: int = 0, n: int = 128, steps: int = 200) -> SvmMode
     y = np.concatenate([np.ones(n), np.zeros(n)])
     Xs = np.asarray(scale_measurements(jnp.asarray(X)))
     return fit_rbf_classifier(Xs, y, steps=steps)
+
+
+def calibrate_verifier(
+    ctx,
+    cfg,
+    true_transform,
+    cal_queries,
+    key,
+    good_mm: float = 2.0,
+    bad_mm: float = 6.0,
+    steps: int = 300,
+):
+    """Train the verifier on GT-labeled measurements from the workload
+    itself — the reference's own training procedure (its
+    `training_data_all.model` was fit offline on measurement vectors from
+    registrations labeled by ground truth; libsvm/svm-train).
+
+    Runs the refine-ALL path on `cal_queries` with no early exit, labels
+    every refined candidate by its median ground-truth mapping error
+    (aligned < good_mm, misaligned > bad_mm, ambiguous discarded), and fits
+    the RBF classifier on those 8-d measurements.  This adapts the verifier
+    to the workload's measurement statistics (covariance traces scale with
+    ROI geometry; angle-agreement floors depend on the data's normal noise)
+    instead of hard-coding ranges.
+
+    Returns (model, n_aligned, n_misaligned); falls back to the static
+    surrogate when either class has fewer than 8 examples."""
+    import jax
+
+    from lrr_tpu.pipeline.registration import _register_locations_jit
+
+    qs = jnp.asarray(cal_queries)
+    Q = qs.shape[0]
+    # permissive stand-in verifier: probabilities are ignored here
+    stand_in = surrogate_verifier(seed=7)
+    out = _register_locations_jit(
+        ctx, qs, cfg, stand_in, jax.random.split(key, Q)
+    )
+    jax.block_until_ready(out.selected)
+
+    meas, labels = [], []
+    rng = np.random.default_rng(17)
+    for q in range(Q):
+        usable = np.asarray(
+            out.candidate_mask[q] & out.enough_features[q] & out.valid[q]
+        )
+        probe = qs[q] + jnp.asarray(
+            rng.uniform(-15, 15, (20, 3)).astype(np.float32)
+        )
+        src = np.asarray(true_transform.inverse().apply(probe))
+        want = np.asarray(true_transform.apply(jnp.asarray(src)))
+        for c in np.flatnonzero(usable):
+            tr = jax.tree.map(lambda a: a[q, c], out.trans)
+            got = np.asarray(tr.apply(jnp.asarray(src)))
+            err = float(np.median(np.linalg.norm(got - want, axis=1)))
+            if err < good_mm:
+                labels.append(1.0)
+            elif err > bad_mm:
+                labels.append(0.0)
+            else:
+                continue
+            meas.append(np.asarray(out.measurements[q, c]))
+
+    y = np.asarray(labels)
+    n_pos = int((y > 0).sum())
+    n_neg = int((y == 0).sum())
+    if n_pos < 8 or n_neg < 8:
+        return stand_in, n_pos, n_neg
+    X = np.stack(meas).astype(np.float32)
+    Xs = np.asarray(scale_measurements(jnp.asarray(X)))
+    model = fit_rbf_classifier(Xs, y, steps=steps)
+    return model, n_pos, n_neg

@@ -204,8 +204,16 @@ def fit_rbf_classifier(
     yy = np.where(np.asarray(y) > 0, 1.0, -1.0).astype(np.float32)
     n = X.shape[0]
 
+    # class-balanced weights: calibration sets are naturally imbalanced
+    # (few aligned candidates among many refined ones) and an unweighted
+    # mean loss biases the 0.5 threshold toward the majority class
+    n_pos = max(int((yy > 0).sum()), 1)
+    n_neg = max(int((yy < 0).sum()), 1)
+    w = np.where(yy > 0, n / (2.0 * n_pos), n / (2.0 * n_neg)).astype(np.float32)
+
     Xj = jnp.asarray(X)
     yj = jnp.asarray(yy)
+    wj = jnp.asarray(w)
     d2 = (
         jnp.sum(Xj * Xj, -1, keepdims=True)
         + jnp.sum(Xj * Xj, -1)[None, :]
@@ -216,8 +224,8 @@ def fit_rbf_classifier(
     def loss(params):
         alpha, rho = params
         f = K @ alpha - rho
-        # logistic loss on margins; P(aligned) = sigmoid(f)
-        return jnp.mean(jnp.log1p(jnp.exp(-yj * f))) + l2 * alpha @ K @ alpha
+        # weighted logistic loss on margins; P(aligned) = sigmoid(f)
+        return jnp.mean(wj * jnp.log1p(jnp.exp(-yj * f))) + l2 * alpha @ K @ alpha
 
     params = (jnp.zeros(n), jnp.asarray(0.0))
     g = jax.jit(jax.grad(loss))

