@@ -232,9 +232,16 @@ class _PackedSource(NamedTuple):
     order: jax.Array  # [n] the underlying permutation (for the stats pass)
 
 
-# Above this voxel count the fused grid (8 f32 per voxel) would exceed
-# ~256 MB of HBM and sampling falls back to the two-gather path.
-_FUSED_GRID_MAX_VOXELS = 8 * 1024 * 1024
+# Above this voxel count the fused grid (8 f32 per voxel, 32 B/voxel)
+# stops being baked and sampling falls back to the two-gather path.  The
+# default admits reference-scale maps (61M voxels = 2.0 GB per grid, two
+# grids per pair); set LRR_FUSED_GRID_MAX_VOXELS lower on memory-pressured
+# workloads (many resident pairs) or 0 to disable.
+import os as _os
+
+_FUSED_GRID_MAX_VOXELS = int(
+    _os.environ.get("LRR_FUSED_GRID_MAX_VOXELS", str(64 * 1024 * 1024))
+)
 
 
 def _grid_rows(dst_packed: jax.Array, vor: VoronoiGrid) -> jax.Array:
