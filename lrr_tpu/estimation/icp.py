@@ -74,6 +74,12 @@ class ICPResult(struct.PyTreeNode):
     sheet_angles_backward: jax.Array
     tube_angles_backward: jax.Array
     number_matches: jax.Array
+    # unweighted feature RMS sqrt(mean e^T P e) after iteration 0 / at the
+    # final state (the reference's initialRMS / RMS_error(),
+    # rrl_estimation_ICP_matching_all.txx:211-240,
+    # itkLocationRegistration.cxx:2363-2426,1965-1974)
+    initial_rms: jax.Array = 0.0
+    final_rms: jax.Array = 0.0
 
 
 class _Carry(NamedTuple):
@@ -88,6 +94,7 @@ class _Carry(NamedTuple):
     iteration: jax.Array
     converged: jax.Array
     valid: jax.Array
+    initial_rms: jax.Array
 
 
 def _mad_scale_dof(values: jax.Array, mask: jax.Array) -> jax.Array:
@@ -427,6 +434,14 @@ def _weighted_error_packed(trans: Affine3D, pm: PackedMatches) -> jax.Array:
     r2 = _residual2_packed(trans, pm)
     w = jnp.where(pm.mask, pm.weight, 0.0)
     return jnp.sum(jnp.sqrt(r2) * w) / jnp.maximum(jnp.sum(w), 1e-30)
+
+
+def _feature_rms_packed(trans: Affine3D, pm: PackedMatches) -> jax.Array:
+    """Unweighted RMS sqrt(mean e^T P e) over the current matches — the
+    reference's RMS_error() (rrl_estimation_ICP_matching_all.txx:211-240)."""
+    r2 = _residual2_packed(trans, pm)
+    n = jnp.maximum(jnp.sum(pm.mask), 1)
+    return jnp.sqrt(jnp.sum(jnp.where(pm.mask, r2, 0.0)) / n)
 
 
 class StatsSample(NamedTuple):
@@ -959,6 +974,15 @@ def register_candidate(
         osc_new = jnp.where(active & ~not_finest_switch, osc_new, osc)
         converged = jnp.where(active & ~not_finest_switch & conv_osc, True, converged)
 
+        # initial RMS: the reference records RMS_error() once after
+        # iteration 0 (itkLocationRegistration.cxx:2363-2426) — the peeled
+        # MUSE iteration is statically iteration 0, so the loop bodies
+        # (use_muse=False) carry the value through for free
+        if isinstance(use_muse, bool) and use_muse:
+            initial_rms = _feature_rms_packed(new_trans, fwd_w)
+        else:
+            initial_rms = c.initial_rms
+
         # resolution switching: double match count (.txx:423-433)
         n_valid_m = jnp.sum(moving.mask.astype(jnp.int32))
         n_valid_f = jnp.sum(fixed.mask.astype(jnp.int32))
@@ -982,6 +1006,7 @@ def register_candidate(
             iteration=c.iteration + 1,
             converged=converged & new_finest,
             valid=new_trans.is_valid(*cfg.singular_value_bounds),
+            initial_rms=initial_rms,
         )
 
     dtype = moving.xyz.dtype
@@ -997,6 +1022,7 @@ def register_candidate(
         iteration=jnp.asarray(0, jnp.int32),
         converged=jnp.asarray(False),
         valid=jnp.asarray(True),
+        initial_rms=jnp.asarray(0.0, dtype),
     )
 
     # Staged match capacities: the reference's doubling schedule
@@ -1046,14 +1072,16 @@ def register_candidate(
         ks_b, perm_f[0], perm_f[1], t32_f, t32_m, moving_vor, inv,
         c.number_matches, cfg.max_matches,
     )
+    fwd_pm = _as_packed_matches(fwd_s, with_from_projector=False)
     _, _, fwd_w, bwd_w = estimate_ls(
         c.trans,
-        _as_packed_matches(fwd_s, with_from_projector=False),
+        fwd_pm,
         _as_packed_matches(bwd_s, with_from_projector=True),
         False, cfg,
     )
     sheet_f, tube_f = _angle_stats_packed(c.trans, fwd_s, fwd_w.weight)
     sheet_b, tube_b = _angle_stats_packed(inv, bwd_s, bwd_w.weight)
+    final_rms = _feature_rms_packed(c.trans, fwd_pm)
 
     return ICPResult(
         trans=c.trans,
@@ -1069,4 +1097,6 @@ def register_candidate(
         sheet_angles_backward=sheet_b,
         tube_angles_backward=tube_b,
         number_matches=c.number_matches,
+        initial_rms=c.initial_rms,
+        final_rms=final_rms,
     )

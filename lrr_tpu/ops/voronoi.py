@@ -277,6 +277,8 @@ def build_feature_voronoi(
     max_shape: int = 512,
     shape_bucket: int = 32,
     exact_max_voxels: int = 64 * 1024 * 1024,
+    mesh=None,
+    axis_name: str = "sp",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Build a Voronoi map over the (host-computed) feature bounding box at
     `spacing_mm` (reference uses a 1 mm grid, compute_distance_map
@@ -286,7 +288,15 @@ def build_feature_voronoi(
 
     Maps up to `exact_max_voxels` use the exact brute-force builder (same
     answers as the reference's Danielsson map); larger maps fall back to
-    JFA+1 (validated against exact NN in tests)."""
+    JFA+1 (validated against exact NN in tests).
+
+    With `mesh` (naming `axis_name`), the exact build shards the voxel grid's
+    z axis across the mesh devices under shard_map — each device solves its
+    own z-slab's 1-NN problem over the replicated feature table (the build is
+    embarrassingly spatially parallel, so results are bit-identical to the
+    single-device map).  This is the P1/SP path of SURVEY §2.5 applied to
+    the matching structure the reference builds once per volume
+    (compute_distance_map.cxx:139-150)."""
     xyz_h = np.asarray(jax.device_get(xyz))
     mask_h = np.asarray(jax.device_get(mask))
     pts = xyz_h[mask_h] if mask_h.any() else np.zeros((1, 3), np.float32)
@@ -298,10 +308,33 @@ def build_feature_voronoi(
     origin = jnp.asarray(lo, jnp.float32)
     spacing = jnp.asarray([spacing_mm] * 3, jnp.float32)
     shape_zyx = (int(shape[2]), int(shape[1]), int(shape[0]))
-    builder = (
-        voronoi_map_exact
-        if int(np.prod(shape)) <= exact_max_voxels
-        else voronoi_map
-    )
+    exact = int(np.prod(shape)) <= exact_max_voxels
+
+    if mesh is not None and exact:
+        from jax.sharding import PartitionSpec as P
+
+        n = int(mesh.shape[axis_name])
+        D, H, W = shape_zyx
+        if D % n == 0 and n > 1:
+            dz = D // n
+
+            def local(xyz_r, mask_r, origin_r, spacing_r):
+                i = jax.lax.axis_index(axis_name)
+                org = origin_r + jnp.asarray(
+                    [0.0, 0.0, 1.0], origin_r.dtype
+                ) * (dz * spacing_r[2] * i)
+                return voronoi_map_exact(
+                    xyz_r, mask_r, org, spacing_r, (dz, H, W)
+                )
+
+            vol = jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P()),
+                out_specs=P(axis_name),
+            )(xyz, mask, origin, spacing)
+            return vol, origin, spacing
+
+    builder = voronoi_map_exact if exact else voronoi_map
     vol = builder(xyz, mask, origin, spacing, shape_zyx)
     return vol, origin, spacing

@@ -103,6 +103,11 @@ class LocationResult(struct.PyTreeNode):
     # .cxx:1972-1973)
     keypoint_moving: Optional[jax.Array] = None
     keypoint_fixed: Optional[jax.Array] = None
+    # [C] unweighted feature RMS after iteration 0 / at the final state
+    # (the reference's initialRMS / finalRMS in WriteResults,
+    # itkLocationRegistration.cxx:1965-1974,2363-2426)
+    initial_rms: Optional[jax.Array] = None
+    final_rms: Optional[jax.Array] = None
 
 
 @partial(jax.jit, static_argnames=("kcfg",))
@@ -116,19 +121,47 @@ def _descriptors_jit(kp, fs, dcfg):
 
 
 def prepare_pair(
-    moving: Volume, fixed: Volume, cfg: PipelineConfig
+    moving: Volume, fixed: Volume, cfg: PipelineConfig,
+    mesh=None, axis_name: str = "sp",
 ) -> PairContext:
     """Stage 1 for both volumes: features, keypoints, descriptors, Voronoi
     maps (ExtractFeatures + ExtractKeypoints + ComputeDescriptors +
-    compute_distance_map).  Each stage runs as one jitted program."""
+    compute_distance_map).  Each stage runs as one jitted program.
+
+    With `mesh` (naming `axis_name`), stage 1 runs spatially sharded — the
+    TPU-native form of the reference's voxel-region thread splitting
+    (SplitRequestedRegion, itkFeatureImageFilter.txx:370-466; SURVEY §2.5
+    P1): the volumes enter the detection jits z-sharded over the mesh so
+    GSPMD partitions the dense stencils (gradient, score, contrast
+    filtering) and the per-slab candidate budget across devices, and the
+    exact Voronoi build solves one z-slab per device under shard_map.
+    Results match the unsharded run (the Voronoi maps bit-exactly; the
+    feature passes up to partition-induced float reduction order)."""
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        zshard = NamedSharding(mesh, P(axis_name))
+
+        def shard_vol(v: Volume) -> Volume:
+            n = int(mesh.shape[axis_name])
+            if v.data.shape[0] % n != 0:
+                return v  # uneven z extent: let GSPMD choose
+            return v.replace(data=jax.device_put(v.data, zshard))
+
+        moving = shard_vol(moving)
+        fixed = shard_vol(fixed)
     fs_m = detect_features(moving, cfg.features)
     fs_f = detect_features(fixed, cfg.features)
     kp_m = _keypoints_jit(fs_m, cfg.keypoints)
     kp_f = _keypoints_jit(fs_f, cfg.keypoints)
     ds_m = _descriptors_jit(kp_m, fs_m, cfg.descriptors)
     ds_f = _descriptors_jit(kp_f, fs_f, cfg.descriptors)
-    mv = VoronoiGrid(*build_feature_voronoi(fs_m.xyz, fs_m.mask))
-    fv = VoronoiGrid(*build_feature_voronoi(fs_f.xyz, fs_f.mask))
+    mv = VoronoiGrid(
+        *build_feature_voronoi(fs_m.xyz, fs_m.mask, mesh=mesh, axis_name=axis_name)
+    )
+    fv = VoronoiGrid(
+        *build_feature_voronoi(fs_f.xyz, fs_f.mask, mesh=mesh, axis_name=axis_name)
+    )
     from lrr_tpu.matching.indexing import descriptor_nn_table
 
     table = descriptor_nn_table(ds_f, ds_m)
@@ -431,6 +464,8 @@ def register_locations_staged(
     svm: SvmModel,
     key: jax.Array,
     mesh=None,
+    accept_override: Optional[float] = None,
+    max_unproductive: int = 2,
 ) -> LocationResult:
     """Batched registration with the reference's PASS-2 early exit.
 
@@ -501,15 +536,26 @@ def register_locations_staged(
     valid_out = np.zeros((Q, C), bool)
     oscillated_out = np.zeros((Q, C), bool)
     refined_out = np.zeros((Q, C), bool)
+    initial_rms_out = np.zeros((Q, C), np.float32)
+    final_rms_out = np.zeros((Q, C), np.float32)
 
     def absorb_wave(wave_h, lanes, cand_idx, act):
         """Record one wave's (host) results and update resolution state.
-        Padding lanes duplicate act[0]'s computation — identical values."""
+        Padding lanes duplicate act[0]'s computation — identical values.
+        Returns how many of `act`'s queries this wave resolved."""
         res_h, meas_h, probs_w = wave_h
         valid_w = res_h.valid
         osc_w = res_h.oscillated
         usable_w = usable0[lanes, cand_idx] & valid_w & ~osc_w
-        ver_w = usable_w & (probs_w > cfg.verify.accept_probability)
+        # accept_override raises/lowers the acceptance bar WITHOUT touching
+        # the jit-static cfg (the compare is host-side bookkeeping); the
+        # calibration path sets it > 1 to refine every candidate through
+        # the same wave executables the serving path uses
+        accept_p = (
+            cfg.verify.accept_probability
+            if accept_override is None else accept_override
+        )
+        ver_w = usable_w & (probs_w > accept_p)
 
         A[lanes, cand_idx] = res_h.trans.A
         t[lanes, cand_idx] = res_h.trans.t
@@ -522,19 +568,53 @@ def register_locations_staged(
         valid_out[lanes, cand_idx] = valid_w
         oscillated_out[lanes, cand_idx] = osc_w
         refined_out[lanes, cand_idx] = True
+        initial_rms_out[lanes, cand_idx] = res_h.initial_rms
+        final_rms_out[lanes, cand_idx] = res_h.final_rms
 
         n = act.size
         newly = ver_w[:n]
         selected[act[newly]] = cand_idx[:n][newly]
         resolved[act[newly]] = True
+        return int(np.count_nonzero(newly))
+
+    def pad_lanes(act_lanes, act_cands):
+        """Pad a (lanes, cand) work list to a power-of-2 / device-multiple
+        bucket so only O(log Q) distinct wave shapes ever compile (compiles
+        are cached)."""
+        m = act_lanes.size
+        bucket = max(8, 1 << int(np.ceil(np.log2(max(m, 1)))))
+        bucket = max(bucket, n_dev) // n_dev * n_dev
+        if bucket < m:
+            bucket = -(-m // n_dev) * n_dev
+        lanes = np.concatenate([act_lanes, np.repeat(act_lanes[:1], bucket - m)])
+        cand_idx = np.concatenate([act_cands, np.repeat(act_cands[:1], bucket - m)])
+        return lanes, cand_idx
+
+    def dispatch(lanes, cand_idx):
+        lanes_d, cand_d = jnp.asarray(lanes), jnp.asarray(cand_idx)
+        if mesh is not None:
+            lanes_d = jax.device_put(lanes_d, lane_shard)
+            cand_d = jax.device_put(cand_d, lane_shard)
+        wave = _wave_jit(
+            ctx, queries, cfg, svm, inits, ckeys, lanes_d, cand_d,
+        )
+        # ONE device->host transfer for the whole wave's results
+        return jax.device_get(wave)
 
     # wave 0 came fused with PASS 1
     rows = np.arange(Q)
     absorb_wave(w0_h, rows, rank_h[:, 0], rows)
 
     # Per-query rank position advances independently; each round batches the
-    # still-unresolved queries, padded to a power-of-2 bucket so only
-    # O(log Q) distinct wave shapes ever compile (compiles are cached).
+    # still-unresolved queries.  When verification rates collapse (a
+    # miscalibrated verifier, a pair with no true overlap), rank-by-rank
+    # waves degenerate into C sequential dispatches + host round-trips per
+    # query; after MAX_UNPRODUCTIVE consecutive low-yield waves the remaining
+    # work switches to ONE refine-everything dispatch (the register_location
+    # semantics), bounding the staged path's worst case at ~one extra wave
+    # over refine-all while keeping the early-exit win in the common case.
+    MAX_UNPRODUCTIVE = max_unproductive
+    unproductive = 0
     wave_pos = np.ones(Q, np.int64)
     rows_all = np.arange(Q)
     while True:
@@ -550,23 +630,43 @@ def register_locations_staged(
         act = np.nonzero(active)[0]
         if act.size == 0:
             break
-        bucket = min(Q, max(8, 1 << int(np.ceil(np.log2(act.size)))))
-        # pad the bucket to a device multiple so the wave shards evenly
-        bucket = max(bucket, n_dev) // n_dev * n_dev
-        if bucket < act.size:
-            bucket = -(-act.size // n_dev) * n_dev
-        lanes = np.concatenate([act, np.repeat(act[:1], bucket - act.size)])
-        cand_idx = rank_h[lanes, wave_pos[lanes]]
 
-        lanes_d, cand_d = jnp.asarray(lanes), jnp.asarray(cand_idx)
-        if mesh is not None:
-            lanes_d = jax.device_put(lanes_d, lane_shard)
-            cand_d = jax.device_put(cand_d, lane_shard)
-        wave = _wave_jit(
-            ctx, queries, cfg, svm, inits, ckeys, lanes_d, cand_d,
-        )
-        # ONE device->host transfer for the whole wave's results
-        absorb_wave(jax.device_get(wave), lanes, cand_idx, act)
+        if unproductive >= MAX_UNPRODUCTIVE:
+            # FALLBACK: flatten every remaining usable (query, rank-pos) pair
+            # into one batched dispatch, then select the first verified
+            # candidate in rank order per query — same acceptance rule.
+            fl_lanes, fl_cands = [], []
+            for q in act:
+                for pos in range(int(wave_pos[q]), C):
+                    c = rank_h[q, pos]
+                    if not usable0[q, c]:
+                        break  # unusable tail — reference would stop here
+                    fl_lanes.append(q)
+                    fl_cands.append(c)
+            if fl_lanes:
+                fl_lanes = np.asarray(fl_lanes, np.int64)
+                fl_cands = np.asarray(fl_cands, np.int64)
+                lanes, cand_idx = pad_lanes(fl_lanes, fl_cands)
+                wave_h = dispatch(lanes, cand_idx)
+                # absorb without the one-cand-per-query selection rule
+                absorb_wave(wave_h, lanes, cand_idx, np.empty(0, np.int64))
+                for q in act:
+                    for pos in range(int(wave_pos[q]), C):
+                        c = rank_h[q, pos]
+                        if not usable0[q, c]:
+                            break
+                        if verified_out[q, c]:
+                            selected[q] = c
+                            resolved[q] = True
+                            break
+            break
+
+        lanes, cand_idx = pad_lanes(act, rank_h[act, wave_pos[act]])
+        n_resolved = absorb_wave(dispatch(lanes, cand_idx), lanes, cand_idx, act)
+        if n_resolved * 4 < act.size:
+            unproductive += 1
+        else:
+            unproductive = 0
         wave_pos[act] += 1
 
     out = LocationResult(
@@ -589,6 +689,8 @@ def register_locations_staged(
         refined=jnp.asarray(refined_out),
         keypoint_moving=kp_m,
         keypoint_fixed=kp_f,
+        initial_rms=jnp.asarray(initial_rms_out),
+        final_rms=jnp.asarray(final_rms_out),
     )
     if qpad:
         out = jax.tree.map(lambda x: x[:Q0], out)
@@ -701,4 +803,6 @@ def register_location(
         refined=jnp.ones_like(verified),
         keypoint_moving=ctx.moving_descriptors.keypoints.xyz[cands.moving_idx],
         keypoint_fixed=ctx.fixed_descriptors.keypoints.xyz[cands.fixed_idx],
+        initial_rms=res.initial_rms,
+        final_rms=res.final_rms,
     )

@@ -116,6 +116,80 @@ def read_itk_transform(path: str):
     return A, t, c
 
 
+def _gt_error_lines(
+    gt_field, q, kp_f, kp_m, A_init, t_init, A_final, t_final, roi_mm
+) -> list:
+    """Ground-truth error block of WriteResults when a deformation field is
+    given (itkLocationRegistration.cxx:1912-1942, FitAffineTransformTo
+    DeformationField .cxx:2604-2696, MeanAndScaleOfAffineApproximationError
+    .cxx:2698-2790): LS affine fit to the field over the query ROI, then
+    median + MAD scale of || defo(s) - (A (s - kp_f) + t - s + kp_m) || for
+    the LS fit and for the candidate's initial/final INVERSE transforms
+    (which map fixed -> moving, as the field does).
+
+    `gt_field` is any object with .displacement([N, 3] fixed points) ->
+    [N, 3] deformation vectors (models/bspline.DeformationField or
+    BSplineTransform)."""
+    import jax.numpy as jnp
+
+    def median_and_scale(vals, dof=1):
+        # rrel_util_median_and_scale: median, then MAD scale with the
+        # small-sample correction 1.4826 * (1 + 5/(n - dof))
+        v = np.asarray(vals, np.float64)
+        med = float(np.median(v))
+        n = max(v.size - dof, 1)
+        scale = 1.4826 * (1.0 + 5.0 / n) * float(np.median(np.abs(v - med)))
+        return med, scale
+
+    half = roi_mm / 2.0
+    ax = np.linspace(-half, half, 9)
+    gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+    pts = np.asarray(q, np.float64) + np.stack([gx, gy, gz], -1).reshape(-1, 3)
+    pts_j = jnp.asarray(pts.astype(np.float32))
+    defo = np.asarray(gt_field.displacement(pts_j), np.float64)
+
+    # LS fit of defo(s) ~ A (s - kp_f) + t - s + kp_m over the ROI grid
+    # (FitAffineTransformToDeformationField: source centered on the fixed
+    # keypoint, target centered on the moving keypoint)
+    sc = pts - np.asarray(kp_f, np.float64)
+    H = np.concatenate([sc, np.ones((sc.shape[0], 1))], axis=1)  # [N, 4]
+    target = pts + defo - np.asarray(kp_m, np.float64)
+    sol, *_ = np.linalg.lstsq(H, target, rcond=None)
+    A_ls = sol[:3].T
+    t_ls = sol[3]
+
+    def med_scale(A, t):
+        defo_affine = sc @ np.asarray(A, np.float64).T + np.asarray(
+            t, np.float64
+        ) - pts + np.asarray(kp_m, np.float64)
+        comp = np.linalg.norm(defo - defo_affine, axis=1)
+        return median_and_scale(comp, dof=1)
+
+    med_ls, scale_ls = med_scale(A_ls, t_ls)
+    med_i, scale_i = med_scale(A_init, t_init)
+    med_f, scale_f = med_scale(A_final, t_final)
+
+    lines = []
+    lines.append(
+        f"Affine Approximation Squared Error: {med_ls:g} scale: {scale_ls:g}"
+    )
+    lines.append("")
+    lines.append("Affine transform fitted to deformation: ")
+    lines.append(_fmt_mat(A_ls))
+    lines.append(_fmt_vnl_vec(t_ls))
+    lines.append("")
+    lines.append(
+        f"CDC Initial Error: {np.sqrt(max(med_i, 0.0)):g} "
+        f"scale: {np.sqrt(max(scale_i, 0.0)):g}"
+    )
+    lines.append(
+        f"CDC Final Error: {np.sqrt(max(med_f, 0.0)):g} "
+        f"scale: {np.sqrt(max(scale_f, 0.0)):g}"
+    )
+    lines.append(f"CDC Error reduced: {1 if med_i > med_f else 0}")
+    return lines
+
+
 def write_reference_artifacts(
     out_dir: str,
     k: int,
@@ -123,6 +197,8 @@ def write_reference_artifacts(
     query_xyz,
     roi_mm: float = 50.0,
     prefix: str = "",
+    gt_field=None,
+    initial_trans=None,
 ) -> list:
     """Reference-format result artifacts for one query location.
 
@@ -140,6 +216,14 @@ def write_reference_artifacts(
                                       reference writes the ITK transform
                                       text format via TransformFileWriter);
       transform_inverse%06d_%02d.vtk — its inverse.
+
+    With `gt_field` (an object with .displacement([N,3]) — a ground-truth
+    deformation field), each results file opens with the reference's GT
+    error block: the LS affine fit to the field over the ROI and median/MAD
+    errors of the fit and of the candidate's initial/final transforms
+    (.cxx:1912-1942).  `initial_trans` ([C] Affine3D pytree of the PASS-2
+    initializations) supplies the initial transform for that block; when
+    absent the final transform stands in (Error reduced then reads 0).
 
     Returns the list of paths written."""
     import os
@@ -185,6 +269,23 @@ def write_reference_artifacts(
         )
 
         lines = []
+        if gt_field is not None:
+            if initial_trans is not None:
+                tr0 = jax.tree.map(lambda a: np.asarray(a)[c], initial_trans)
+                A0 = np.asarray(tr0.A, np.float64).reshape(3, 3)
+                t0 = np.asarray(tr0.t, np.float64)
+                c0 = np.asarray(tr0.center, np.float64)
+                A0inv = np.linalg.inv(A0)
+                t0inv = c0 - A0inv @ t0
+                t0_centered = t0inv + A0inv @ kp_f - kp_m
+            else:
+                A0inv, t0_centered = Ainv, t_centered
+            lines.extend(
+                _gt_error_lines(
+                    gt_field, q, kp_f, kp_m,
+                    A0inv, t0_centered, Ainv, t_centered, roi_mm,
+                )
+            )
         lines.append("")
         lines.append("Final estimated transform: ")
         lines.append(_fmt_mat(A))
@@ -203,15 +304,36 @@ def write_reference_artifacts(
         lines.append(f"Fixed keypoint location: {_fmt_vnl_vec(kp_f)}")
         lines.append(f"Moving keypoint location: {_fmt_vnl_vec(kp_m)}")
         lines.append(f"Converged: {int(bool(np.asarray(out.converged)[c]))}")
-        # per-candidate RMS history is not retained; the weighted error at
-        # the final state is written for both (the reduced flag then
-        # degenerates to 0, which diff tooling treats as a field to ignore)
-        lines.append("Initial RMS: 0")
-        lines.append("Final RMS: 0")
-        lines.append("RMS reduced: 0")
+        # feature RMS after iteration 0 vs. at the final state, tracked in
+        # the ICP carry (estimation/icp.py; the reference's initialRMS /
+        # RMS_error(), itkLocationRegistration.cxx:1965-1974)
+        rms_i = (
+            float(np.asarray(out.initial_rms)[c])
+            if getattr(out, "initial_rms", None) is not None else 0.0
+        )
+        rms_f = (
+            float(np.asarray(out.final_rms)[c])
+            if getattr(out, "final_rms", None) is not None else 0.0
+        )
+        lines.append(f"Initial RMS: {rms_i:g}")
+        lines.append(f"Final RMS: {rms_f:g}")
+        lines.append(f"RMS reduced: {1 if rms_i > rms_f else 0}")
         qm = np.asarray(out.query_mapped[c], np.float64)
         lines.append(f"Query point: {_fmt_point(q)}")
         lines.append(f"Query point mapped: {_fmt_point(qm)}")
+        if gt_field is not None:
+            # Query point deformed + distance (itkLocationRegistration
+            # .cxx:1995-2002): the field maps the FIXED query; the mapped
+            # query is the candidate's fixed->moving estimate of it
+            dq = np.asarray(
+                gt_field.displacement(jnp.asarray(q[None, :].astype(np.float32)))
+            , np.float64)[0]
+            q_def = q + dq
+            lines.append(f"Query point deformed: {_fmt_point(q_def)}")
+            lines.append(
+                f"Distance between mapped and deformed: "
+                f"{np.linalg.norm(q_def - qm):g}"
+            )
         lines.append(
             "Final alignment error : Maximum trace : Sheet angles (deg): "
             "Tube angles (deg)"

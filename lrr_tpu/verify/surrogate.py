@@ -73,42 +73,66 @@ def calibrate_verifier(
     instead of hard-coding ranges.
 
     Returns (model, n_aligned, n_misaligned); falls back to the static
-    surrogate when either class has fewer than 8 examples."""
+    surrogate when either class has fewer than 8 examples.
+
+    Implementation detail that matters for wall-clock: calibration runs
+    through `register_locations_staged` with `accept_override=2.0` (nothing
+    verifies, so every usable candidate gets refined — the refine-all
+    semantics) instead of the vmapped refine-all program.  When the
+    calibration query count equals the serving batch size, the waves reuse
+    the EXACT executables the bench/serving path compiles anyway — the
+    refine-all jit was a separate several-minute XLA compile at 16x10
+    lanes."""
     import jax
 
-    from lrr_tpu.pipeline.registration import _register_locations_jit
+    from lrr_tpu.pipeline.registration import register_locations_staged
 
     qs = jnp.asarray(cal_queries)
     Q = qs.shape[0]
     # permissive stand-in verifier: probabilities are ignored here
     stand_in = surrogate_verifier(seed=7)
-    out = _register_locations_jit(
-        ctx, qs, cfg, stand_in, jax.random.split(key, Q)
+    out = register_locations_staged(
+        ctx, qs, cfg, stand_in, key,
+        accept_override=2.0, max_unproductive=10**9,
     )
     jax.block_until_ready(out.selected)
 
-    meas, labels = [], []
     rng = np.random.default_rng(17)
-    for q in range(Q):
-        usable = np.asarray(
-            out.candidate_mask[q] & out.enough_features[q] & out.valid[q]
+    probes = jnp.asarray(
+        np.asarray(qs)[:, None, :]
+        + rng.uniform(-15, 15, (Q, 20, 3)).astype(np.float32)
+    )
+
+    @jax.jit
+    def _gt_errors(trans, probes):
+        # [Q, C] median GT mapping error of every candidate transform
+        src = true_transform.inverse().apply(probes.reshape(-1, 3)).reshape(
+            Q, -1, 3
         )
-        probe = qs[q] + jnp.asarray(
-            rng.uniform(-15, 15, (20, 3)).astype(np.float32)
-        )
-        src = np.asarray(true_transform.inverse().apply(probe))
-        want = np.asarray(true_transform.apply(jnp.asarray(src)))
-        for c in np.flatnonzero(usable):
-            tr = jax.tree.map(lambda a: a[q, c], out.trans)
-            got = np.asarray(tr.apply(jnp.asarray(src)))
-            err = float(np.median(np.linalg.norm(got - want, axis=1)))
-            if err < good_mm:
-                labels.append(1.0)
-            elif err > bad_mm:
-                labels.append(0.0)
-            else:
-                continue
-            meas.append(np.asarray(out.measurements[q, c]))
+        want = true_transform.apply(src.reshape(-1, 3)).reshape(Q, -1, 3)
+
+        def per_cand(tr, s, w):
+            d = tr.apply(s) - w
+            return jnp.median(jnp.linalg.norm(d, axis=-1))
+
+        return jax.vmap(
+            lambda trq, s, w: jax.vmap(
+                lambda trc: per_cand(trc, s, w)
+            )(trq)
+        )(trans, src, want)
+
+    errs = np.asarray(_gt_errors(out.trans, probes))
+    usable = np.asarray(
+        out.candidate_mask & out.enough_features & out.valid & out.refined
+    )
+    aligned = usable & (errs < good_mm)
+    misaligned = usable & (errs > bad_mm)
+    meas_h = np.asarray(out.measurements)
+    meas = [meas_h[q, c] for q, c in zip(*np.nonzero(aligned | misaligned))]
+    labels = [
+        1.0 if aligned[q, c] else 0.0
+        for q, c in zip(*np.nonzero(aligned | misaligned))
+    ]
 
     y = np.asarray(labels)
     n_pos = int((y > 0).sum())

@@ -124,6 +124,73 @@ class TestSpatialSharding:
             np.asarray(outer), np.asarray(outer_ref), rtol=1e-4, atol=1e-5
         )
 
+    def test_sharded_voronoi_build_bitexact(self, rng):
+        """The z-slab shard_map exact build equals the single-device map
+        voxel-for-voxel (SURVEY §2.5 P1 applied to compute_distance_map)."""
+        from jax.sharding import Mesh
+        from lrr_tpu.ops.voronoi import build_feature_voronoi
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("sp",))
+
+        xyz = jnp.asarray(rng.uniform(0, 60, (256, 3)).astype(np.float32))
+        mask = jnp.asarray(rng.uniform(size=256) > 0.1)
+        vol0, org0, sp0 = build_feature_voronoi(xyz, mask)
+        vol1, org1, sp1 = build_feature_voronoi(xyz, mask, mesh=mesh)
+        np.testing.assert_array_equal(np.asarray(vol0), np.asarray(vol1))
+        np.testing.assert_array_equal(np.asarray(org0), np.asarray(org1))
+
+    @pytest.mark.slow
+    def test_sharded_prepare_pair_matches(self, rng):
+        """prepare_pair(mesh=) — stage 1 spatially sharded end-to-end —
+        matches the single-device context (features to float tolerance,
+        Voronoi maps voxel-exact when the feature sets agree bitwise)."""
+        from jax.sharding import Mesh
+        from lrr_tpu.config import (
+            DescriptorConfig, EstimationConfig, FeatureConfig,
+            IndexingConfig, KeypointConfig, PipelineConfig,
+        )
+        from lrr_tpu.pipeline import prepare_pair
+        from lrr_tpu.utils.synthetic import make_pair
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("sp",))
+
+        cfg = PipelineConfig(
+            features=FeatureConfig(max_features=512, contrast_radius_mm=100.0),
+            keypoints=KeypointConfig(max_keypoints=32),
+            descriptors=DescriptorConfig(min_neighbors=8, max_neighbors=64),
+            indexing=IndexingConfig(num_candidates=4, max_query_keypoints=8),
+            estimation=EstimationConfig(
+                max_matches=256, max_iterations=5, min_region_features=16
+            ),
+        )
+        fixed, moving, _ = make_pair(
+            (32, 32, 32), rotation_deg=4.0, translation=(2.0, -1.0, 0.5)
+        )
+        ctx0 = prepare_pair(moving, fixed, cfg)
+        ctx1 = prepare_pair(moving, fixed, cfg, mesh=mesh)
+
+        np.testing.assert_allclose(
+            np.asarray(ctx1.moving_features.xyz),
+            np.asarray(ctx0.moving_features.xyz),
+            rtol=1e-4, atol=1e-4,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ctx1.moving_features.mask),
+            np.asarray(ctx0.moving_features.mask),
+        )
+        if np.array_equal(
+            np.asarray(ctx1.fixed_features.xyz),
+            np.asarray(ctx0.fixed_features.xyz),
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(ctx1.fixed_vor.index_vol),
+                np.asarray(ctx0.fixed_vor.index_vol),
+            )
+
     def test_halo_exchange_roundtrip(self, rng):
         from jax.sharding import Mesh, PartitionSpec
         from lrr_tpu.parallel import halo_exchange
