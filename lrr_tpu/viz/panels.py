@@ -123,6 +123,58 @@ def checkerboard_panels(
     return np.concatenate(rows, axis=0)
 
 
+def overlay_covariance_ellipses(
+    panel: np.ndarray,  # [res, res] one slice panel (modified copy returned)
+    centers_xyz: np.ndarray,  # [N, 3] world mm glyph centers
+    covariances: np.ndarray,  # [N, 3, 3] (or [3, 3] for a single glyph)
+    center_xyz,
+    axis: int,
+    half_extent_mm: float = 25.0,
+    slab_mm: float = 2.5,
+    scale: float = 1.0,
+    n_arc: int = 96,
+    value: float | None = None,
+) -> np.ndarray:
+    """Draw 1-sigma covariance ellipses on a slice panel — the array-first
+    analog of the reference's scaled tensor glyphs
+    (cdcl/displayVTK/vtkTensorGlyphScaled.{h,cxx}, which renders covariance
+    ellipsoids over the match/feature panels; its ScaleFactor maps to
+    `scale` here).
+
+    Each 3x3 covariance is projected onto the slice plane by taking the
+    in-plane 2x2 block (the planar marginal of the Gaussian), its
+    eigen-decomposition gives the ellipse axes (radius = scale * sqrt(λ)),
+    and the outline is rasterized as `n_arc` samples.  Glyphs whose center
+    is farther than `slab_mm` from the plane are skipped."""
+    panel = np.array(panel, copy=True)
+    res = panel.shape[0]
+    center = np.asarray(center_xyz, np.float32)
+    axes = [a for a in range(3) if a != axis]
+    if value is None:
+        value = float(panel.max()) if panel.size else 1.0
+
+    pts = np.atleast_2d(np.asarray(centers_xyz, np.float32))
+    covs = np.asarray(covariances, np.float64)
+    if covs.ndim == 2:
+        covs = covs[None]
+    rel = pts - center
+    in_slab = np.abs(rel[:, axis]) <= slab_mm
+    px_scale = (res - 1) / (2.0 * half_extent_mm)
+    theta = np.linspace(0.0, 2 * np.pi, n_arc, endpoint=False)
+    circ = np.stack([np.cos(theta), np.sin(theta)], axis=0)  # [2, n_arc]
+
+    for n in np.flatnonzero(in_slab):
+        c2 = covs[n][np.ix_(axes, axes)]
+        w, V = np.linalg.eigh(0.5 * (c2 + c2.T))
+        radii = scale * np.sqrt(np.maximum(w, 0.0))
+        arc = (V * radii[None, :]) @ circ  # [2, n_arc] plane offsets (mm)
+        uv = rel[n][axes][:, None] + arc
+        ij = np.round((uv + half_extent_mm) * px_scale).astype(int)
+        keep = (ij >= 0).all(axis=0) & (ij < res).all(axis=0)
+        panel[ij[0, keep], ij[1, keep]] = value
+    return panel
+
+
 def overlay_features(
     panel: np.ndarray,  # [res, res] one slice panel (modified copy returned)
     feature_xyz: np.ndarray,  # [N, 3] world mm

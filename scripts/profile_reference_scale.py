@@ -156,9 +156,11 @@ def run(shape=None, n_queries=None):
     # on labeled measurement vectors; see verify/surrogate.py)
     from lrr_tpu.verify.surrogate import calibrate_verifier
 
+    # same count as the measured batch so the calibration waves reuse the
+    # exact executables the timed path compiles anyway
     ext0 = [float(shape[2]), float(shape[1]), float(shape[0])]
     cal_queries = np.random.default_rng(5).uniform(
-        [0.3 * e for e in ext0], [0.7 * e for e in ext0], (8, 3)
+        [0.3 * e for e in ext0], [0.7 * e for e in ext0], (n_queries, 3)
     ).astype(np.float32)
     t0 = time.time()
     svm, n_pos, n_neg = calibrate_verifier(

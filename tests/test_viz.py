@@ -60,3 +60,32 @@ def test_overlay_features_marks_in_slab_points():
     assert out.max() == 7.0
     # original untouched
     assert panel.max() == 0.0
+
+
+def test_overlay_covariance_ellipses_geometry():
+    """Glyph radii follow the in-plane covariance eigenvalues
+    (vtkTensorGlyphScaled semantics): an anisotropic Gaussian draws a wide
+    ellipse along its large axis, and out-of-slab glyphs are skipped."""
+    import numpy as np
+    from lrr_tpu.viz.panels import overlay_covariance_ellipses
+
+    panel = np.zeros((128, 128), np.float32)
+    cov = np.diag([16.0, 1.0, 1.0])  # sigma_x = 4 mm, sigma_y = 1 mm
+    out = overlay_covariance_ellipses(
+        panel, np.asarray([[0.0, 0.0, 25.0]]), cov[None],
+        [0.0, 0.0, 25.0], axis=2, half_extent_mm=10.0, value=9.0,
+    )
+    ii, jj = np.nonzero(out == 9.0)
+    assert ii.size > 32
+    res, half = 128, 10.0
+    u = ii * (2 * half) / (res - 1) - half  # first in-plane axis = x
+    v = jj * (2 * half) / (res - 1) - half  # second = y
+    # extents match the 1-sigma radii (pixel quantization tolerance)
+    assert abs(np.abs(u).max() - 4.0) < 0.5
+    assert abs(np.abs(v).max() - 1.0) < 0.5
+
+    out2 = overlay_covariance_ellipses(
+        panel, np.asarray([[0.0, 0.0, 40.0]]), cov[None],
+        [0.0, 0.0, 25.0], axis=2, half_extent_mm=10.0, value=9.0,
+    )
+    assert out2.max() == 0.0  # out of slab: nothing drawn
