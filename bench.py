@@ -22,11 +22,12 @@ ground-truth alignment error of the selected transforms.
 Prints ONE JSON line:
   {"metric": "locations_per_s", "value": N, "unit": "locations/s/chip",
    "vs_baseline": R, ...}
-where R compares against the stored single-CPU-core rate of the same
-workload (bench_baseline.json; the C++ reference cannot be built here —
-no VXL/ITK/VTK in the image and zero egress — so the recorded CPU rate of
-this implementation stands in as the conservative CPU baseline; the
-reference's threaded C++ would be the same order of magnitude).
+where R compares against the stored multi-threaded host-CPU rate of the
+SAME workload and verifier (bench_baseline.json; the C++ reference cannot
+be built here — no VXL/ITK/VTK in the image and zero egress — so the
+recorded CPU rate of this implementation stands in as the conservative CPU
+baseline; the reference's threaded C++ would be the same order of
+magnitude).
 
 Env knobs: BENCH_PLATFORM=cpu forces CPU; BENCH_SIZE (volume side, default
 64); BENCH_QUERIES (default 64); BENCH_REPS (default 3);
@@ -257,7 +258,7 @@ def main():
                     "size": size,
                     "queries": n_queries,
                     "accept": accept,
-                    "note": "single-core-equivalent CPU rate of the same "
+                    "note": "multi-threaded host-CPU rate of the same "
                     "workload (GT-calibrated verifier); see bench.py "
                     "docstring",
                 },
