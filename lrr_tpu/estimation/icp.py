@@ -250,10 +250,20 @@ _FUSED_GRID_MAX_VOXELS = int(
     _os.environ.get("LRR_FUSED_GRID_MAX_VOXELS", str(64 * 1024 * 1024))
 )
 
+# Below this voxel count the baked grid keeps the fast-but-16x-padded
+# [V, 8] layout (512 B/voxel on TPU); above it, rows pack 16 voxels per
+# 128-lane row (dense 32 B/voxel) — see _grid_rows.  2M voxels = 1.0 GB
+# padded.
+_FUSED_GRID_PAD_MAX_VOXELS = int(
+    _os.environ.get("LRR_FUSED_GRID_PAD_MAX_VOXELS", str(2 * 1024 * 1024))
+)
+
 
 def _grid_rows(dst_packed: jax.Array, vor: VoronoiGrid) -> jax.Array:
-    """Bake the NN lookup into the Voronoi grid: rows[v] = packed row of the
-    voxel's nearest feature (zeros — tag 0 = invalid — for empty voxels).
+    """Bake the NN lookup into the Voronoi grid: 8 floats per voxel = the
+    packed row of the voxel's nearest feature (zeros — tag 0 = invalid —
+    for empty voxels), packed as [V/16, 128] (16 voxel-rows per full-width
+    lane row).
 
     The hot loop's two dependent gathers per match (scalar NN index from the
     map, then the feature row) collapse into ONE 8-float row gather; the
@@ -261,10 +271,65 @@ def _grid_rows(dst_packed: jax.Array, vor: VoronoiGrid) -> jax.Array:
     iteration (1.16 ms/direction at 40x4096 on v5e, scripts/profile_loop.py
     — scalar gathers don't vectorize across lanes the way contiguous row
     gathers do).  Candidate-invariant, so XLA hoists one copy out of the
-    vmapped candidate batch."""
+    vmapped candidate batch.
+
+    LAYOUT IS ADAPTIVE.  A [V, 8] array's minor dim tile-pads 8 -> 128
+    lanes on TPU, costing 16x HBM (512 B/voxel): fastest to gather
+    (measured 4.96 ms/iteration sampling at 64x4096), fine for small maps,
+    but the reference-scale 61M-voxel grid would allocate 31.4 GB —
+    measured OOM.  Above `_FUSED_GRID_PAD_MAX_VOXELS` the rows pack 16
+    voxels per full-width 128-lane row ([V/16, 128], dense 32 B/voxel,
+    2.0 GB at 61M voxels) and the gather adds an in-register 16-way segment
+    select (+14% iteration time — the price of fitting).  (A flat [V*8]
+    layout with slice-size-8 XLA gathers avoids the padding too but lowers
+    ~130x slower: 905 ms/iteration measured.)  V is always a multiple of 16
+    (map shapes bucket to 32-voxel multiples per axis,
+    ops/voronoi.build_feature_voronoi); padded defensively anyway."""
     flat = vor.index_vol.reshape(-1)
     rows = flat_take(dst_packed, jnp.maximum(flat, 0))
-    return jnp.where((flat >= 0)[:, None], rows, 0.0)
+    rows = jnp.where((flat >= 0)[:, None], rows, 0.0)
+    v = rows.shape[0]
+    if v <= _FUSED_GRID_PAD_MAX_VOXELS:
+        return rows  # [V, 8] padded-but-fast layout
+    if v % 16:
+        rows = jnp.pad(rows, ((0, (-v) % 16), (0, 0)))
+    return rows.reshape(-1, 128)
+
+
+@jax.custom_batching.custom_vmap
+def _take_rows8(grid: jax.Array, ids: jax.Array) -> jax.Array:
+    """[ids..., 8] voxel rows from a [V/16, 128] packed grid: one full-width
+    row gather (no tile padding, full lane utilization) + an in-register
+    16-way one-hot segment select.  Batching flattens the index batch dims
+    like flat_take (multi-dim start indices lower to a slower gather)."""
+    idx = ids.reshape(-1).astype(jnp.int32)
+    rows = jnp.take(grid, idx // 16, axis=0)  # [M, 128]
+    m = idx.shape[0]
+    seg = rows.reshape(m, 16, 8)
+    onehot = (idx % 16)[:, None] == jnp.arange(16)[None, :]  # [M, 16]
+    out = jnp.sum(jnp.where(onehot[:, :, None], seg, 0.0), axis=1)
+    return out.reshape(ids.shape + (8,))
+
+
+@_take_rows8.def_vmap
+def _take_rows8_vmap(axis_size, in_batched, grid, ids):
+    grid_b, ids_b = in_batched
+    if grid_b:
+        # batched grids get the generic path (not used by the hot loop)
+        def one(g, i):
+            idx = i.reshape(-1).astype(jnp.int32)
+            seg = jnp.take(g, idx // 16, axis=0).reshape(idx.shape[0], 16, 8)
+            onehot = (idx % 16)[:, None] == jnp.arange(16)[None, :]
+            out = jnp.sum(jnp.where(onehot[:, :, None], seg, 0.0), axis=1)
+            return out.reshape(i.shape + (8,))
+
+        out = jax.vmap(one)(
+            grid,
+            ids if ids_b else jnp.broadcast_to(ids, (axis_size,) + ids.shape),
+        )
+        return out, True
+    out = _take_rows8(grid, ids.reshape(-1)).reshape(ids.shape + (8,))
+    return out, True
 
 
 def _pack_source(key: jax.Array, fs: FeatureSet) -> _PackedSource:
@@ -343,7 +408,8 @@ def _sample_matches_packed(
         # fused path: one row gather straight from the baked grid (empty
         # voxels carry tag 0 and drop out through the mask)
         ids = voxel_ids(vor.index_vol.shape, vor.origin, vor.spacing, mapped.T)
-        to_row = flat_take(dst_grid, ids).T  # [8, M]
+        take = flat_take if dst_grid.shape[1] == 8 else _take_rows8
+        to_row = take(dst_grid, ids).T  # [8, M]
         ok = sel & (to_row[7] > 0.5)
     else:
         nn = lookup(vor.index_vol, vor.origin, vor.spacing, mapped.T)
