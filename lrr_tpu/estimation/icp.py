@@ -286,14 +286,29 @@ def _grid_rows(dst_packed: jax.Array, vor: VoronoiGrid) -> jax.Array:
     (map shapes bucket to 32-voxel multiples per axis,
     ops/voronoi.build_feature_voronoi); padded defensively anyway."""
     flat = vor.index_vol.reshape(-1)
-    rows = flat_take(dst_packed, jnp.maximum(flat, 0))
-    rows = jnp.where((flat >= 0)[:, None], rows, 0.0)
-    v = rows.shape[0]
+    v = flat.shape[0]
     if v <= _FUSED_GRID_PAD_MAX_VOXELS:
-        return rows  # [V, 8] padded-but-fast layout
-    if v % 16:
-        rows = jnp.pad(rows, ((0, (-v) % 16), (0, 0)))
-    return rows.reshape(-1, 128)
+        rows = flat_take(dst_packed, jnp.maximum(flat, 0))
+        return jnp.where((flat >= 0)[:, None], rows, 0.0)  # [V, 8] fast layout
+
+    # Packed build runs CHUNKED under lax.map: a single whole-volume gather
+    # materializes the [V, 8] intermediate in the padded tile layout before
+    # the reshape can compact it — the very 31.4 GB allocation the packed
+    # layout exists to avoid (measured OOM at 61M voxels).
+    chunk = 1 << 18  # 256k voxels -> 128 MB padded intermediate per chunk
+    pad_v = (-v) % chunk
+    if pad_v:
+        flat = jnp.pad(flat, (0, pad_v), constant_values=-1)
+    n_chunks = flat.shape[0] // chunk
+    flat2 = flat.reshape(n_chunks, chunk)
+
+    def build_chunk(ids):
+        rows = flat_take(dst_packed, jnp.maximum(ids, 0))
+        rows = jnp.where((ids >= 0)[:, None], rows, 0.0)
+        return rows.reshape(chunk // 16, 128)
+
+    out = jax.lax.map(build_chunk, flat2)
+    return out.reshape(-1, 128)
 
 
 @jax.custom_batching.custom_vmap
@@ -330,6 +345,18 @@ def _take_rows8_vmap(axis_size, in_batched, grid, ids):
         return out, True
     out = _take_rows8(grid, ids.reshape(-1)).reshape(ids.shape + (8,))
     return out, True
+
+
+@jax.jit
+def bake_target_grid(targets: FeatureSet, vor: VoronoiGrid) -> jax.Array:
+    """Precompute the fused NN-row grid for a match-target set over its
+    Voronoi map (see _grid_rows for the layout).  Pair-level,
+    query/candidate-invariant state: the pipeline bakes it ONCE in
+    prepare_pair and passes it into every wave dispatch — rebaking inside
+    each jit costs a full random row gather over the map's voxels per
+    dispatch (a 61M-row sweep at reference scale, dwarfing the sampling the
+    grid accelerates)."""
+    return _grid_rows(_pack_features(targets), vor)
 
 
 def _pack_source(key: jax.Array, fs: FeatureSet) -> _PackedSource:
@@ -900,6 +927,8 @@ def register_candidate(
     model: str = "affine",
     mesh=None,
     match_axis: str = "mp",
+    fixed_grid: jax.Array | None = None,
+    moving_grid: jax.Array | None = None,
 ) -> ICPResult:
     """Run the full symmetric robust ICP from one initialization.
 
@@ -957,13 +986,15 @@ def register_candidate(
     src_f = _pack_source(kpf, fixed)
     dst_f = _pack_features(fixed_targets)
     dst_m = _pack_features(moving_targets)
-    # bake NN rows into the Voronoi grids when they fit (see _grid_rows)
-    grid_f = (
+    # NN rows baked into the Voronoi grids when they fit (see _grid_rows);
+    # prebaked grids (bake_target_grid, stored on the PairContext) take
+    # precedence — rebaking per dispatch sweeps the whole map
+    grid_f = fixed_grid if fixed_grid is not None else (
         _grid_rows(dst_f, fixed_vor)
         if fixed_vor.index_vol.size <= _FUSED_GRID_MAX_VOXELS
         else None
     )
-    grid_m = (
+    grid_m = moving_grid if moving_grid is not None else (
         _grid_rows(dst_m, moving_vor)
         if moving_vor.index_vol.size <= _FUSED_GRID_MAX_VOXELS
         else None

@@ -56,13 +56,31 @@ def load_pair_context(path: str) -> PairContext:
     kp_t = KeypointSet.empty(1)
     ds_t = DescriptorSet(keypoints=kp_t, descriptors=jnp.zeros((1, 1)))
     vor_t = VoronoiGrid(jnp.zeros((1, 1, 1), jnp.int32), jnp.zeros(3), jnp.ones(3))
+    fs_m = get("mf", fs_t)
+    fs_f = get("ff", fs_t)
+    mv = get("mv", vor_t)
+    fv = get("fv", vor_t)
+    # the baked NN-row grids are derived state: rebuilt on load (cheaper
+    # than storing 0.5-2 GB per grid in the artifact)
+    from lrr_tpu.estimation.icp import _FUSED_GRID_MAX_VOXELS, bake_target_grid
+
+    fg = (
+        bake_target_grid(fs_f, fv)
+        if fv.index_vol.size <= _FUSED_GRID_MAX_VOXELS else None
+    )
+    mg = (
+        bake_target_grid(fs_m, mv)
+        if mv.index_vol.size <= _FUSED_GRID_MAX_VOXELS else None
+    )
     return PairContext(
-        moving_features=get("mf", fs_t),
-        fixed_features=get("ff", fs_t),
+        moving_features=fs_m,
+        fixed_features=fs_f,
         moving_descriptors=get("md", ds_t),
         fixed_descriptors=get("fd", ds_t),
-        moving_vor=get("mv", vor_t),
-        fixed_vor=get("fv", vor_t),
+        moving_vor=mv,
+        fixed_vor=fv,
+        fixed_grid=fg,
+        moving_grid=mg,
     )
 
 

@@ -75,6 +75,12 @@ class PairContext(struct.PyTreeNode):
     # itkLocationRegistration.cxx:1363-1522) — see attach_regions
     moving_region_labels: Optional[jax.Array] = None
     fixed_region_labels: Optional[jax.Array] = None
+    # prebaked fused NN-row grids for the target feature sets over their
+    # Voronoi maps (estimation.icp.bake_target_grid): pair-level state,
+    # baked once here instead of per wave dispatch (a full random row
+    # sweep over the map's voxels — 61M rows at reference scale)
+    fixed_grid: Optional[jax.Array] = None
+    moving_grid: Optional[jax.Array] = None
 
 
 class LocationResult(struct.PyTreeNode):
@@ -165,6 +171,18 @@ def prepare_pair(
     from lrr_tpu.matching.indexing import descriptor_nn_table
 
     table = descriptor_nn_table(ds_f, ds_m)
+    from lrr_tpu.estimation.icp import (
+        _FUSED_GRID_MAX_VOXELS, bake_target_grid,
+    )
+
+    fg = (
+        bake_target_grid(fs_f, fv)
+        if fv.index_vol.size <= _FUSED_GRID_MAX_VOXELS else None
+    )
+    mg = (
+        bake_target_grid(fs_m, mv)
+        if mv.index_vol.size <= _FUSED_GRID_MAX_VOXELS else None
+    )
     return PairContext(
         moving_features=fs_m,
         fixed_features=fs_f,
@@ -173,6 +191,8 @@ def prepare_pair(
         moving_vor=mv,
         fixed_vor=fv,
         nn_table=table,
+        fixed_grid=fg,
+        moving_grid=mg,
     )
 
 
@@ -303,6 +323,7 @@ def _refine_candidate(
     res = register_candidate(
         moving_roi, fixed_roi, ctx.fixed_vor, ctx.moving_vor, init, ecfg, k1,
         moving_targets=ctx.moving_features, fixed_targets=ctx.fixed_features,
+        fixed_grid=ctx.fixed_grid, moving_grid=ctx.moving_grid,
     )
 
     cov_b = backward_covariance(
@@ -376,8 +397,22 @@ def register_locations(
         keys = jax.random.wrap_key_data(kd)
     axes = tuple(mesh.axis_names)
     shard = NamedSharding(mesh, P(axes))
-    queries = jax.device_put(queries, shard)
-    keys = jax.device_put(keys, shard)
+
+    def put(x):
+        # device_put rejects shardings with non-addressable devices; on a
+        # process-spanning mesh each process supplies its addressable
+        # shards from its (identical) host copy instead
+        if all(d.process_index == jax.process_index() for d in mesh.devices.flat):
+            return jax.device_put(x, shard)
+        import numpy as np
+
+        xh = np.asarray(x)
+        return jax.make_array_from_callback(
+            xh.shape, shard, lambda idx: xh[idx]
+        )
+
+    queries = put(queries)
+    keys = jax.random.wrap_key_data(put(jax.random.key_data(keys)))
     out = _register_locations_jit(ctx, queries, cfg, svm, keys)
     if pad:
         out = jax.tree.map(lambda x: x[:Q], out)
@@ -742,6 +777,7 @@ def register_location_rigid(
         cfg.estimation, krefine,
         moving_targets=ctx.moving_features, fixed_targets=ctx.fixed_features,
         model="rigid",
+        fixed_grid=ctx.fixed_grid, moving_grid=ctx.moving_grid,
     )
     return res, best, jnp.any(usable)
 

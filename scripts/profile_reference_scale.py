@@ -122,10 +122,16 @@ def run(shape=None, n_queries=None):
 
     table = timed("descriptor nn table", lambda: descriptor_nn_table(ds_f, ds_m))
 
+    from lrr_tpu.estimation.icp import bake_target_grid
+
+    fg = timed("bake grid fixed", lambda: bake_target_grid(fs_f, fv))
+    mg = timed("bake grid moving", lambda: bake_target_grid(fs_m, mv))
+
     ctx = PairContext(
         moving_features=fs_m, fixed_features=fs_f,
         moving_descriptors=ds_m, fixed_descriptors=ds_f,
         moving_vor=mv, fixed_vor=fv, nn_table=table,
+        fixed_grid=fg, moving_grid=mg,
     )
 
     # watershed region growing: at CT density a 50 mm ROI box holds only a
