@@ -462,9 +462,21 @@ def _sample_matches_packed(
 
 
 def _apply_packed(trans: Affine3D, x: jax.Array) -> jax.Array:
-    """trans.apply for component-major points x [3, M]."""
+    """trans.apply for component-major points x [3, M].
+
+    Unrolled (no matmul): TPU matmuls round operands to bf16 — ~0.4% of
+    coordinate magnitude, a 0.1-1.4 mm mapping error at ROI/CT extents that
+    poisons NN lookups and residuals; 9 fused multiply-adds are exact."""
     xc = x - trans.center[:, None]
-    return trans.A @ xc + trans.t[:, None]
+    A = trans.A
+    return jnp.stack(
+        [
+            A[0, 0] * xc[0] + A[0, 1] * xc[1] + A[0, 2] * xc[2] + trans.t[0],
+            A[1, 0] * xc[0] + A[1, 1] * xc[1] + A[1, 2] * xc[2] + trans.t[1],
+            A[2, 0] * xc[0] + A[2, 1] * xc[1] + A[2, 2] * xc[2] + trans.t[2],
+        ],
+        axis=0,
+    )
 
 
 def _residual2_packed(trans: Affine3D, pm: PackedMatches) -> jax.Array:
@@ -610,8 +622,19 @@ def _angle_stats_packed(
         n = jnp.sqrt(d[0] ** 2 + d[1] ** 2 + d[2] ** 2)
         return d / jnp.maximum(n, 1e-12)[None, :]
 
+    def mat3(A, x):
+        # unrolled 3x3 @ [3, M] (TPU matmuls round operands to bf16)
+        return jnp.stack(
+            [
+                A[0, 0] * x[0] + A[0, 1] * x[1] + A[0, 2] * x[2],
+                A[1, 0] * x[0] + A[1, 1] * x[1] + A[1, 2] * x[2],
+                A[2, 0] * x[0] + A[2, 1] * x[1] + A[2, 2] * x[2],
+            ],
+            axis=0,
+        )
+
     def wmean_angle(p_dir, q_dir, pair_mask):
-        pm = norm_rows(trans.A @ p_dir)
+        pm = norm_rows(mat3(trans.A, p_dir))
         c = jnp.clip(jnp.sum(pm * q_dir, axis=0), -1.0, 1.0)
         ang = jnp.arccos(c)
         ang = jnp.where(ang > jnp.pi / 2, jnp.pi - ang, ang)

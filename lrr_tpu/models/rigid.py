@@ -52,7 +52,17 @@ class Rigid3D(struct.PyTreeNode):
         return cls(R=jnp.eye(3, dtype=dtype), t=jnp.zeros(3, dtype), center=c)
 
     def apply(self, x: jax.Array) -> jax.Array:
-        return (x - self.center) @ self.R.T + self.t
+        # unrolled like Affine3D.apply (TPU matmuls round operands to bf16)
+        xc = x - self.center
+        R = self.R
+        return jnp.stack(
+            [
+                R[0, 0] * xc[..., 0] + R[0, 1] * xc[..., 1] + R[0, 2] * xc[..., 2],
+                R[1, 0] * xc[..., 0] + R[1, 1] * xc[..., 1] + R[1, 2] * xc[..., 2],
+                R[2, 0] * xc[..., 0] + R[2, 1] * xc[..., 1] + R[2, 2] * xc[..., 2],
+            ],
+            axis=-1,
+        ) + self.t
 
     def inverse(self) -> "Rigid3D":
         """(cdcl_trans_rigid3d.cxx:111-117)"""

@@ -209,10 +209,11 @@ def compute_descriptors(
 
     def chunk_fn(args):
         cx, cm = args  # [C, 3], [C]
-        d2 = (
-            jnp.sum(cx * cx, -1, keepdims=True)
-            + jnp.sum(f_xyz * f_xyz, -1)[None, :]
-            - 2.0 * cx @ f_xyz.T
+        # exact component-wise distances (the MXU expansion rounds
+        # operands to bf16 — ~27 mm neighbor-selection errors at CT
+        # coordinates, which destroyed descriptor repeatability)
+        d2 = sum(
+            (cx[:, c][:, None] - f_xyz[:, c][None, :]) ** 2 for c in range(3)
         )
         d2 = jnp.where(f_mask[None, :], d2, jnp.inf)
         neg, idx = jax.lax.top_k(-d2, M)  # [C, M]

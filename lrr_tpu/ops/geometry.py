@@ -48,9 +48,11 @@ def unnormalize_points(xyz: jax.Array, center: jax.Array, radius: jax.Array) -> 
 
 
 def pairwise_sq_dists(a: jax.Array, b: jax.Array) -> jax.Array:
-    """[N,3] x [M,3] -> [N,M] squared distances via the matmul identity
-    (MXU-friendly; clamped at zero)."""
-    a2 = jnp.sum(a * a, axis=-1, keepdims=True)
-    b2 = jnp.sum(b * b, axis=-1, keepdims=True).T
-    d2 = a2 + b2 - 2.0 * (a @ b.T)
+    """[N,3] x [M,3] -> [N,M] squared distances, exact component-wise.
+
+    Deliberately NOT the |a|^2+|b|^2-2ab matmul identity: TPU matmuls round
+    operands to bf16 (~0.4% of coordinate magnitude — tens of mm at CT
+    extents) and the f32 expansion cancels catastrophically; three VPU
+    difference-square passes are exact and cheap at D=3."""
+    d2 = sum((a[:, c][:, None] - b[:, c][None, :]) ** 2 for c in range(3))
     return jnp.maximum(d2, 0.0)

@@ -44,8 +44,9 @@ def knn(
 ) -> tuple[jax.Array, jax.Array]:
     """Exact k-NN by squared L2.  Returns (sq_dists [Q, k], indices [Q, k]);
     masked points never match (distance +inf)."""
+    D = queries.shape[1]
     mode = _pallas_mode()
-    if mode is not None and k <= 128:
+    if mode is not None and k <= 128 and D > 8:
         from lrr_tpu.ops.pallas_kernels import knn_pallas
 
         d2, idx = knn_pallas(
@@ -57,19 +58,44 @@ def knn(
     q = jnp.concatenate(
         [queries, jnp.zeros((pad, queries.shape[1]), queries.dtype)], 0
     )
-    p2 = jnp.sum(points * points, -1)
     inf = jnp.asarray(jnp.inf, queries.dtype)
 
-    def chunk_fn(qc):
-        d2 = (
-            jnp.sum(qc * qc, -1, keepdims=True)
-            + p2[None, :]
-            - 2.0 * qc @ points.T
-        )
-        d2 = jnp.maximum(d2, 0.0)
-        d2 = jnp.where(point_mask[None, :], d2, inf)
-        neg, idx = jax.lax.top_k(-d2, k)
-        return -neg, idx
+    if D <= 8:
+        # Spatial coordinates: EXACT component-wise differences.  The MXU
+        # |a|^2+|b|^2-2ab expansion loses ~|p|^2 * 2^-8 to bf16 operand
+        # rounding (TPU matmuls round operands to bf16 regardless of the
+        # f32 accumulator) — measured 27 mm 1-NN errors at CT coordinates
+        # (~360 mm extents) — and the f32 expansion itself cancels
+        # catastrophically.  Per-component VPU work is exact and, at D=3,
+        # cheap.
+        pT = points.T  # [D, N]
+
+        def chunk_fn(qc):
+            d2 = jnp.zeros((qc.shape[0], points.shape[0]), queries.dtype)
+            for c in range(D):
+                diff = qc[:, c][:, None] - pT[c][None, :]
+                d2 = d2 + diff * diff
+            d2 = jnp.where(point_mask[None, :], d2, inf)
+            neg, idx = jax.lax.top_k(-d2, k)
+            return -neg, idx
+
+    else:
+        p2 = jnp.sum(points * points, -1)
+
+        def chunk_fn(qc):
+            d2 = (
+                jnp.sum(qc * qc, -1, keepdims=True)
+                + p2[None, :]
+                - 2.0 * jax.lax.dot_general(
+                    qc, points, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            )
+            d2 = jnp.maximum(d2, 0.0)
+            d2 = jnp.where(point_mask[None, :], d2, inf)
+            neg, idx = jax.lax.top_k(-d2, k)
+            return -neg, idx
 
     n_chunks = q.shape[0] // query_chunk
     d2, idx = jax.lax.map(
@@ -98,13 +124,31 @@ def radius_count(
         [queries, jnp.zeros((pad, queries.shape[1]), queries.dtype)], 0
     )
     r2 = radius * radius
-    p2 = jnp.sum(points * points, -1)
+    D = queries.shape[1]
+    if D <= 8:
+        pT = points.T
 
-    def chunk_fn(qc):
-        d2 = (
-            jnp.sum(qc * qc, -1, keepdims=True) + p2[None, :] - 2.0 * qc @ points.T
-        )
-        return jnp.sum((d2 <= r2) & point_mask[None, :], axis=-1)
+        def chunk_fn(qc):
+            d2 = jnp.zeros((qc.shape[0], points.shape[0]), queries.dtype)
+            for c in range(D):
+                diff = qc[:, c][:, None] - pT[c][None, :]
+                d2 = d2 + diff * diff
+            return jnp.sum((d2 <= r2) & point_mask[None, :], axis=-1)
+
+    else:
+        p2 = jnp.sum(points * points, -1)
+
+        def chunk_fn(qc):
+            d2 = (
+                jnp.sum(qc * qc, -1, keepdims=True)
+                + p2[None, :]
+                - 2.0 * jax.lax.dot_general(
+                    qc, points, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            )
+            return jnp.sum((d2 <= r2) & point_mask[None, :], axis=-1)
 
     n_chunks = q.shape[0] // query_chunk
     out = jax.lax.map(chunk_fn, q.reshape(n_chunks, query_chunk, -1))

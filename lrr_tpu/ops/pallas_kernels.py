@@ -62,7 +62,8 @@ def _knn_kernel(q_ref, p_ref, pstat_ref, d_ref, i_ref, *, k, tile_n):
     q = q_ref[:]
     p = p_ref[:]
     qp = jax.lax.dot_general(
-        q, p, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, p, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     q2 = jnp.sum(q * q, axis=1, keepdims=True)
     # pstat carries |p|^2 for live points and +inf for masked/padding points,

@@ -66,10 +66,13 @@ def sparsify_mask(
             m_i = jax.lax.dynamic_slice_in_dim(mask, start, chunk, 0)
             i_i = start + jnp.arange(chunk)
 
-            d2 = (
-                jnp.sum(x_i * x_i, -1, keepdims=True)
-                + jnp.sum(xyz * xyz, -1)[None, :]
-                - 2.0 * x_i @ xyz.T
+            # exact component-wise distances: the MXU |a|^2+|b|^2-2ab
+            # expansion rounds operands to bf16 (~0.4% of coordinate
+            # magnitude — tens of mm at CT extents), which makes the
+            # keep/suppress decision nondeterministic across volumes
+            d2 = sum(
+                (x_i[:, c][:, None] - xyz[:, c][None, :]) ** 2
+                for c in range(3)
             )
             near = (d2 < d2max) & mask[None, :]
             strg = stronger(s_i[:, None], i_i[:, None], strength[None, :], idx[None, :])
