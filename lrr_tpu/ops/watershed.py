@@ -70,17 +70,39 @@ def gradient_magnitude(vol: jax.Array) -> jax.Array:
     return jnp.sqrt(acc)
 
 
-def _neighbors_6(flat_idx, D, H, W):
-    z = flat_idx // (H * W)
-    y = (flat_idx // W) % H
-    x = flat_idx % W
-    out = []
-    for dz, dy, dx in ((1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)):
-        zz = jnp.clip(z + dz, 0, D - 1)
-        yy = jnp.clip(y + dy, 0, H - 1)
-        xx = jnp.clip(x + dx, 0, W - 1)
-        out.append(zz * H * W + yy * W + xx)
-    return out
+def _shift_replicate(vol: jax.Array, axis: int, d: int) -> jax.Array:
+    """Shift a 3-D array by one voxel along `axis` with edge replication
+    (so a border voxel's out-of-range neighbor is itself — the same
+    semantics as the clipped-index neighbor lists this replaced)."""
+    size = vol.shape[axis]
+    if d == 1:
+        body = jax.lax.slice_in_dim(vol, 0, size - 1, axis=axis)
+        edge = jax.lax.slice_in_dim(vol, 0, 1, axis=axis)
+        return jnp.concatenate([edge, body], axis=axis)
+    body = jax.lax.slice_in_dim(vol, 1, size, axis=axis)
+    edge = jax.lax.slice_in_dim(vol, size - 1, size, axis=axis)
+    return jnp.concatenate([body, edge], axis=axis)
+
+
+def _pointer_jump(p: jax.Array, max_rounds: int) -> jax.Array:
+    """p <- p[p] until fixpoint (roots reached) or max_rounds.
+
+    Early exit matters: convergence takes ~log2(longest descent path) — a
+    basin diameter, typically < 10 rounds — while the worst-case bound
+    log2(n) is 26 at reference scale, and every round is a full random
+    gather over the volume."""
+
+    def cond(c):
+        i, _, changed = c
+        return changed & (i < max_rounds)
+
+    def body(c):
+        i, p, _ = c
+        p2 = p[p]
+        return i + 1, p2, jnp.any(p2 != p)
+
+    _, p, _ = jax.lax.while_loop(cond, body, (0, p, jnp.asarray(True)))
+    return p
 
 
 def watershed_labels(
@@ -89,43 +111,57 @@ def watershed_labels(
     scale_level: float = 0.10,
     plateau_sweeps: int = 8,
 ) -> jax.Array:
-    """int32 [D,H,W] basin labels (values are basin-minimum flat indices)."""
+    """int32 [D,H,W] basin labels (values are basin-minimum flat indices).
+
+    All neighbor access is by one-voxel SHIFTS of the 3-D arrays (XLA slices
+    — sequential memory traffic), not gathered neighbor-index lists: the
+    index-list formulation ran every neighbor read as a random gather over
+    the full volume (~100 such sweeps = ~190 s at 49M voxels on v5e; the
+    shift form cuts the gathers down to the pointer-jump rounds, which are
+    irreducibly random)."""
     D, H, W = height.shape
     n = D * H * W
     hmin = jnp.min(height)
     hmax = jnp.max(height)
     level = hmin + jnp.maximum(lower_threshold, scale_level) * (hmax - hmin)
-    h = jnp.maximum(height, level).reshape(-1)
+    h = jnp.maximum(height, level)
 
-    idx = jnp.arange(n, dtype=jnp.int32)
-    nbrs = _neighbors_6(idx, D, H, W)
+    idx3 = (
+        jnp.arange(D, dtype=jnp.int32)[:, None, None] * (H * W)
+        + jnp.arange(H, dtype=jnp.int32)[None, :, None] * W
+        + jnp.arange(W, dtype=jnp.int32)[None, None, :]
+    )
 
-    best = idx
+    best_i = idx3
     best_h = h
     # strictly lower neighbor with minimal height; ties among equal-height
     # neighbors resolved toward the smallest flat index
-    for nb in nbrs:
-        nb_h = h[nb]
-        lower = (nb_h < best_h) | ((nb_h == best_h) & (nb < best))
-        best = jnp.where(lower, nb, best)
-        best_h = jnp.where(lower, nb_h, best_h)
+    for axis in (0, 1, 2):
+        for d in (1, -1):
+            nb_h = _shift_replicate(h, axis, d)
+            nb_i = _shift_replicate(idx3, axis, d)
+            lower = (nb_h < best_h) | ((nb_h == best_h) & (nb_i < best_i))
+            best_i = jnp.where(lower, nb_i, best_i)
+            best_h = jnp.where(lower, nb_h, best_h)
 
-    p = best.astype(jnp.int32)
     rounds = max(1, math.ceil(math.log2(max(n, 2))))
-    for _ in range(rounds):
-        p = p[p]
+    p = _pointer_jump(best_i.reshape(-1), rounds)
 
-    labels = p
+    labels = p.reshape(D, H, W)
     # merge plateau fragments: propagate min label across equal-height nbrs
     for _ in range(plateau_sweeps):
         new = labels
-        for nb in nbrs:
-            same = h[nb] == h
-            new = jnp.where(same, jnp.minimum(new, labels[nb]), new)
+        for axis in (0, 1, 2):
+            for d in (1, -1):
+                same = _shift_replicate(h, axis, d) == h
+                new = jnp.where(
+                    same,
+                    jnp.minimum(new, _shift_replicate(labels, axis, d)),
+                    new,
+                )
         labels = new
-    # one more pointer-jump to canonicalize through merged roots
-    for _ in range(rounds):
-        labels = labels[labels]
+    # canonicalize through merged roots
+    labels = _pointer_jump(labels.reshape(-1), rounds)
     return labels.reshape(D, H, W)
 
 

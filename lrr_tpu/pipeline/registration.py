@@ -625,7 +625,14 @@ def register_locations_staged(
         cand_idx = np.concatenate([act_cands, np.repeat(act_cands[:1], bucket - m)])
         return lanes, cand_idx
 
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    debug_waves = _os.environ.get("LRR_DEBUG_WAVES") == "1"
+
     def dispatch(lanes, cand_idx):
+        t0 = _time.time() if debug_waves else 0.0
         lanes_d, cand_d = jnp.asarray(lanes), jnp.asarray(cand_idx)
         if mesh is not None:
             lanes_d = jax.device_put(lanes_d, lane_shard)
@@ -634,7 +641,13 @@ def register_locations_staged(
             ctx, queries, cfg, svm, inits, ckeys, lanes_d, cand_d,
         )
         # ONE device->host transfer for the whole wave's results
-        return jax.device_get(wave)
+        out = jax.device_get(wave)
+        if debug_waves:
+            print(
+                f"# wave lanes={lanes.size} {_time.time() - t0:.3f}s",
+                file=_sys.stderr, flush=True,
+            )
+        return out
 
     # wave 0 came fused with PASS 1
     rows = np.arange(Q)

@@ -197,6 +197,13 @@ def run(shape=None, n_queries=None):
     print(f"  {'staged registration (steady)':<28s} {reg_s:8.3f} s")
     print(f"    verified {int((sel >= 0).sum())}/{n_queries} queries; "
           f"{n_queries / reg_s:.2f} locations/s")
+    # rank position of the accepted candidate (how deep the early exit went)
+    rank_h = np.asarray(out.rank)
+    pos = [
+        int(np.nonzero(rank_h[q] == sel[q])[0][0])
+        for q in range(n_queries) if sel[q] >= 0
+    ]
+    print(f"    accepted at rank positions: {sorted(pos)}")
 
     # registration quality vs ground truth on verified queries
     errs = []
