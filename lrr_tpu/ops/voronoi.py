@@ -46,7 +46,8 @@ BIG = jnp.float32(1e30)
 
 
 def _shift_dynamic(arr: jax.Array, dz, dy, dx, step, fill) -> jax.Array:
-    """Shift by (dz, dy, dx) * step with constant fill (no wraparound).
+    """Shift the LAST THREE axes by (dz, dy, dx) * step with constant fill
+    (no wraparound); leading axes are batch channels shifted together.
     Both the directions and the step may be traced scalars, so the
     26-offset JFA sweep runs under ONE lax.fori_loop body — unrolling it
     kept ~90 volume-sized temps live (20 GB at 384^3).
@@ -56,14 +57,15 @@ def _shift_dynamic(arr: jax.Array, dz, dy, dx, step, fill) -> jax.Array:
     (measured ~0.7 s per roll of a 64^3 volume — pathological), while
     dynamic_slice with a traced start is a DMA."""
     out = arr
-    for ax, d in ((0, dz), (1, dy), (2, dx)):
+    base = arr.ndim - 3
+    for ax, d in ((base, dz), (base + 1, dy), (base + 2, dx)):
         size = arr.shape[ax]
         s = d * step
         doubled = jnp.concatenate([out, out], axis=ax)
-        start = [0, 0, 0]
+        start = [0] * arr.ndim
         start[ax] = jnp.mod(-s, size)
         out = jax.lax.dynamic_slice(doubled, start, arr.shape)
-        pos_shape = [1, 1, 1]
+        pos_shape = [1] * arr.ndim
         pos_shape[ax] = size
         pos = jnp.arange(size, dtype=jnp.int32).reshape(pos_shape)
         invalid = jnp.where(s >= 0, pos < s, pos >= size + s)
@@ -115,34 +117,48 @@ def voronoi_map(
     seed = seed.at[upd].set(order.astype(jnp.int32), mode="drop")
     idx_vol = seed.reshape(D, H, W)
 
-    # pad feature table with a far sentinel for index -1; per-component
-    # gathers keep every intermediate [D,H,W] (lane-dense)
+    # pad feature table with a far sentinel for index -1
     fx = jnp.concatenate([xyz[:, 0], jnp.full((1,), 1e18, xyz.dtype)])
     fy = jnp.concatenate([xyz[:, 1], jnp.full((1,), 1e18, xyz.dtype)])
     fz = jnp.concatenate([xyz[:, 2], jnp.full((1,), 1e18, xyz.dtype)])
 
-    def dist2(ivol):
-        safe = jnp.where(ivol < 0, n, ivol)
-        dx = fx[safe] - vox_x
-        dy = fy[safe] - vox_y
-        dz = fz[safe] - vox_z
-        return jnp.where(ivol < 0, BIG, dx * dx + dy * dy + dz * dz)
+    # COORDINATE-CARRY JFA: besides the index volume, carry the best
+    # feature's physical coordinates as a [3, D, H, W] volume and the best
+    # squared distance.  Each offset probe then SHIFTS the coordinate
+    # channels (contiguous DMA) and recomputes the candidate distance
+    # locally — instead of gathering feature coordinates through the
+    # shifted index volume (3 full-volume random gathers per offset;
+    # 26 offsets x ~10 step levels of those dominated the build at 61M
+    # voxels: 43 s/map measured on v5e; 5.8 s with the carry).
+    # Identical answers: same candidate set, same f32 distance arithmetic.
+    safe0 = jnp.where(idx_vol < 0, n, idx_vol)
+    bxyz = jnp.stack([fx[safe0], fy[safe0], fz[safe0]])  # [3, D, H, W]
+    best_d = jnp.where(
+        idx_vol < 0,
+        BIG,
+        (bxyz[0] - vox_x) ** 2 + (bxyz[1] - vox_y) ** 2 + (bxyz[2] - vox_z) ** 2,
+    )
 
     offsets = jnp.asarray(_OFFSETS, jnp.int32)  # [26, 3]
 
-    def jfa_pass(ivol, step):
+    def jfa_pass(carry, step):
         def offset_body(k, carry):
-            best_i, best_d = carry
+            best_i, bxyz, best_d = carry
             o = offsets[k]
-            cand = _shift_dynamic(ivol, o[0], o[1], o[2], step, -1)
-            cd = dist2(cand)
+            cand_i = _shift_dynamic(best_i, o[0], o[1], o[2], step, -1)
+            cand_c = _shift_dynamic(bxyz, o[0], o[1], o[2], step, 1e18)
+            dx = cand_c[0] - vox_x
+            dy = cand_c[1] - vox_y
+            dz = cand_c[2] - vox_z
+            cd = jnp.where(cand_i < 0, BIG, dx * dx + dy * dy + dz * dz)
             take = cd < best_d
-            return jnp.where(take, cand, best_i), jnp.where(take, cd, best_d)
+            return (
+                jnp.where(take, cand_i, best_i),
+                jnp.where(take[None], cand_c, bxyz),
+                jnp.where(take, cd, best_d),
+            )
 
-        best_i, _ = jax.lax.fori_loop(
-            0, offsets.shape[0], offset_body, (ivol, dist2(ivol))
-        )
-        return best_i
+        return jax.lax.fori_loop(0, offsets.shape[0], offset_body, carry)
 
     max_dim = max(D, H, W)
     levels = max(1, math.ceil(math.log2(max(max_dim, 2))))
@@ -150,12 +166,12 @@ def voronoi_map(
 
     # one compiled pass body, iterated with a halving dynamic step
     def body(k, carry):
-        ivol, step = carry
-        return jfa_pass(ivol, step), jnp.maximum(step // 2, 1)
+        state, step = carry
+        return jfa_pass(state, step), jnp.maximum(step // 2, 1)
 
-    idx_vol, _ = jax.lax.fori_loop(
+    (idx_vol, _, _), _ = jax.lax.fori_loop(
         0, levels + extra_passes, body,
-        (idx_vol, jnp.asarray(step0, jnp.int32)),
+        ((idx_vol, bxyz, best_d), jnp.asarray(step0, jnp.int32)),
     )
     return idx_vol
 

@@ -480,15 +480,20 @@ def _wave_fn(ctx, queries_all, cfg, svm, inits_all, ckeys_all, lanes, cand_idx):
 _wave_jit = partial(jax.jit, static_argnames=("cfg",))(_wave_fn)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _pass1_wave0_jit(ctx, queries, cfg, svm, qkeys):
-    """PASS 1 fused with the first PASS-2 wave (every query's rank-0
-    candidate): one dispatch and one device->host readback cover the common
-    case where all queries verify immediately."""
+@partial(jax.jit, static_argnames=("cfg", "k0"))
+def _pass1_wave0_jit(ctx, queries, cfg, svm, qkeys, k0=1):
+    """PASS 1 fused with the first PASS-2 wave (each query's k0 best-ranked
+    candidates): one dispatch and one device->host readback cover the common
+    case where all queries verify within the first rank group.  k0 > 1 keeps
+    the wave's lane count near the chip's efficient batch when the query
+    batch alone would underfill it (16 reference-scale queries = 16 lanes;
+    k0=4 restores a 64-lane wave)."""
     p1 = _pass1_fn(ctx, queries, cfg, qkeys)
     cmask, inits, angles, enough, qm, rank, ckeys, kp_m, kp_f = p1
-    lanes = jnp.arange(queries.shape[0])
-    w0 = _wave_fn(ctx, queries, cfg, svm, inits, ckeys, lanes, rank[:, 0])
+    lanes = jnp.repeat(jnp.arange(queries.shape[0]), k0)
+    w0 = _wave_fn(
+        ctx, queries, cfg, svm, inits, ckeys, lanes, rank[:, :k0].reshape(-1)
+    )
     return p1, w0
 
 
@@ -501,6 +506,7 @@ def register_locations_staged(
     mesh=None,
     accept_override: Optional[float] = None,
     max_unproductive: int = 2,
+    lane_budget: int = 64,
 ) -> LocationResult:
     """Batched registration with the reference's PASS-2 early exit.
 
@@ -509,13 +515,22 @@ def register_locations_staged(
     (itkLocationRegistration.cxx:2332-2528) — typically the rank-0 candidate.
     `register_location` instead refines all candidates in parallel (maximal
     information, ~C× the reference's work).  This serving path restores the
-    early exit while staying batched: wave w refines every query's rank-w
-    candidate under one vmap, the host checks verification, and later waves
-    run only while some query is still unresolved.  Refined candidates get
-    bit-identical results to `register_location` (same per-candidate RNG
-    streams; on a mesh, identical up to partition-induced reduction order);
-    candidates the reference would never refine are left with null results
-    (verified=False, probability=0).
+    early exit while staying batched: each wave refines the next GROUP of
+    ranks for every still-unresolved query under one vmap, the host checks
+    verification in rank order, and later waves run only while some query is
+    still unresolved.  Refined candidates get bit-identical results to
+    `register_location` (same per-candidate RNG streams; on a mesh,
+    identical up to partition-induced reduction order); candidates the
+    reference would never refine are left with null results (verified=False,
+    probability=0).
+
+    The rank-group width adapts to `lane_budget` (per-chip lanes that keep
+    the vmapped ICP near its efficient batch): with 64 queries each wave
+    refines one rank per query (the reference's exact schedule); with 16
+    queries it refines 4 ranks per query — same acceptance rule (first
+    verified in rank order wins, over-refined deeper ranks are discarded by
+    the rank-order scan), ~4× fewer sequential dispatches when acceptance
+    lands at deep ranks.
 
     With `mesh`, the lane axis of every dispatch (the fused PASS-1 + first
     wave over Q queries, and each straggler wave's bucket) is sharded across
@@ -549,7 +564,9 @@ def register_locations_staged(
         queries = jax.device_put(queries, lane_shard)
         qkeys = jax.device_put(qkeys, lane_shard)
 
-    p1, w0 = _pass1_wave0_jit(ctx, queries, cfg, svm, qkeys)
+    budget = lane_budget * n_dev
+    k0 = max(1, min(C, budget // max(Q, 1)))
+    p1, w0 = _pass1_wave0_jit(ctx, queries, cfg, svm, qkeys, k0)
     cmask, inits, angles, enough, qm, rank, ckeys, kp_m, kp_f = p1
     # ONE device->host transfer for everything PASS 2 reads on the host,
     # including the fused first wave's results
@@ -574,10 +591,9 @@ def register_locations_staged(
     initial_rms_out = np.zeros((Q, C), np.float32)
     final_rms_out = np.zeros((Q, C), np.float32)
 
-    def absorb_wave(wave_h, lanes, cand_idx, act):
-        """Record one wave's (host) results and update resolution state.
-        Padding lanes duplicate act[0]'s computation — identical values.
-        Returns how many of `act`'s queries this wave resolved."""
+    def absorb_wave(wave_h, lanes, cand_idx):
+        """Record one wave's (host) results.  Padding lanes duplicate the
+        first pair's computation — identical values, idempotent writes."""
         res_h, meas_h, probs_w = wave_h
         valid_w = res_h.valid
         osc_w = res_h.oscillated
@@ -606,11 +622,22 @@ def register_locations_staged(
         initial_rms_out[lanes, cand_idx] = res_h.initial_rms
         final_rms_out[lanes, cand_idx] = res_h.final_rms
 
-        n = act.size
-        newly = ver_w[:n]
-        selected[act[newly]] = cand_idx[:n][newly]
-        resolved[act[newly]] = True
-        return int(np.count_nonzero(newly))
+    def resolve_from_prefix(q, upto):
+        """Scan q's ranks [0, upto) — all refined by now — in rank order:
+        the first verified candidate wins (the reference's acceptance rule,
+        itkLocationRegistration.cxx:2332-2528); the first pre-gated-unusable
+        rank exhausts the query (the sequential loop would stop there too,
+        .cxx:2287-2332).  Returns True iff q was newly selected."""
+        for pos in range(int(upto)):
+            c = rank_h[q, pos]
+            if not usable0[q, c]:
+                resolved[q] = True  # unusable tail: nothing left to try
+                return False
+            if verified_out[q, c]:
+                selected[q] = c
+                resolved[q] = True
+                return True
+        return False
 
     def pad_lanes(act_lanes, act_cands):
         """Pad a (lanes, cand) work list to a power-of-2 / device-multiple
@@ -649,73 +676,66 @@ def register_locations_staged(
             )
         return out
 
-    # wave 0 came fused with PASS 1
-    rows = np.arange(Q)
-    absorb_wave(w0_h, rows, rank_h[:, 0], rows)
+    # wave 0 came fused with PASS 1 (ranks [0, k0) per query)
+    lanes0 = np.repeat(np.arange(Q), k0)
+    absorb_wave(w0_h, lanes0, rank_h[:, :k0].reshape(-1))
+    wave_pos = np.full(Q, k0, np.int64)
+    for q in range(Q0):
+        resolve_from_prefix(q, k0)
 
     # Per-query rank position advances independently; each round batches the
-    # still-unresolved queries.  When verification rates collapse (a
-    # miscalibrated verifier, a pair with no true overlap), rank-by-rank
-    # waves degenerate into C sequential dispatches + host round-trips per
-    # query; after MAX_UNPRODUCTIVE consecutive low-yield waves the remaining
-    # work switches to ONE refine-everything dispatch (the register_location
-    # semantics), bounding the staged path's worst case at ~one extra wave
-    # over refine-all while keeping the early-exit win in the common case.
+    # still-unresolved queries' next rank GROUP (group width re-adapts to
+    # the shrinking active set so straggler waves stay near the lane
+    # budget).  When verification rates collapse (a miscalibrated verifier,
+    # a pair with no true overlap), after MAX_UNPRODUCTIVE consecutive
+    # low-yield waves the group width jumps to C — ONE refine-everything
+    # dispatch (the register_location semantics), bounding the staged
+    # path's worst case at ~one extra wave over refine-all while keeping
+    # the early-exit win in the common case.
     MAX_UNPRODUCTIVE = max_unproductive
     unproductive = 0
-    wave_pos = np.ones(Q, np.int64)
-    rows_all = np.arange(Q)
     while True:
-        active = ~resolved & (wave_pos < C)
-        # Rank order places every pre-gated-unusable candidate (no candidate
-        # or too few ROI features — angle forced to +inf) at the tail, so the
-        # first unusable rank position exhausts the query: stop dispatching
-        # waves for it and leave the remaining candidates as null results
-        # (the reference's sequential loop would skip them the same way,
-        # itkLocationRegistration.cxx:2287-2332).
-        cur = rank_h[rows_all, np.minimum(wave_pos, C - 1)]
-        active &= usable0[rows_all, cur]
-        act = np.nonzero(active)[0]
+        act = np.nonzero(~resolved & (wave_pos < C))[0]
         if act.size == 0:
             break
 
-        if unproductive >= MAX_UNPRODUCTIVE:
-            # FALLBACK: flatten every remaining usable (query, rank-pos) pair
-            # into one batched dispatch, then select the first verified
-            # candidate in rank order per query — same acceptance rule.
-            fl_lanes, fl_cands = [], []
+        k_r = (
+            C if unproductive >= MAX_UNPRODUCTIVE
+            else max(1, min(budget // act.size, C))
+        )
+        fl_lanes, fl_cands = [], []
+        new_pos = wave_pos.copy()
+        for q in act:
+            for pos in range(int(wave_pos[q]), min(int(wave_pos[q]) + k_r, C)):
+                c = rank_h[q, pos]
+                if not usable0[q, c]:
+                    # unusable tail — the reference's sequential loop stops
+                    # here; nothing beyond this rank ever dispatches
+                    new_pos[q] = C
+                    break
+                fl_lanes.append(q)
+                fl_cands.append(c)
+                new_pos[q] = pos + 1
+        if not fl_lanes:
+            # every active query's next rank was unusable: resolve (exhaust)
             for q in act:
-                for pos in range(int(wave_pos[q]), C):
-                    c = rank_h[q, pos]
-                    if not usable0[q, c]:
-                        break  # unusable tail — reference would stop here
-                    fl_lanes.append(q)
-                    fl_cands.append(c)
-            if fl_lanes:
-                fl_lanes = np.asarray(fl_lanes, np.int64)
-                fl_cands = np.asarray(fl_cands, np.int64)
-                lanes, cand_idx = pad_lanes(fl_lanes, fl_cands)
-                wave_h = dispatch(lanes, cand_idx)
-                # absorb without the one-cand-per-query selection rule
-                absorb_wave(wave_h, lanes, cand_idx, np.empty(0, np.int64))
-                for q in act:
-                    for pos in range(int(wave_pos[q]), C):
-                        c = rank_h[q, pos]
-                        if not usable0[q, c]:
-                            break
-                        if verified_out[q, c]:
-                            selected[q] = c
-                            resolved[q] = True
-                            break
-            break
+                resolve_from_prefix(q, wave_pos[q])
+            wave_pos[act] = C
+            continue
 
-        lanes, cand_idx = pad_lanes(act, rank_h[act, wave_pos[act]])
-        n_resolved = absorb_wave(dispatch(lanes, cand_idx), lanes, cand_idx, act)
+        lanes, cand_idx = pad_lanes(
+            np.asarray(fl_lanes, np.int64), np.asarray(fl_cands, np.int64)
+        )
+        absorb_wave(dispatch(lanes, cand_idx), lanes, cand_idx)
+        wave_pos = new_pos
+        n_resolved = 0
+        for q in act:
+            if resolve_from_prefix(q, wave_pos[q]):
+                n_resolved += 1
         if n_resolved * 4 < act.size:
             unproductive += 1
         else:
             unproductive = 0
-        wave_pos[act] += 1
 
     out = LocationResult(
         trans=Affine3D(

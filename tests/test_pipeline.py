@@ -279,6 +279,39 @@ class TestRegisterLocationsStaged:
                 assert not ver_s[q, earlier].any()
 
 
+    def test_staged_lane_budget_invariance(self, pair_ctx, rng):
+        """Selection is invariant to the wave group width: lane_budget=1
+        (strict rank-by-rank — the reference's sequential schedule) and the
+        default budget (multi-rank groups sized to fill the chip) pick the
+        same winners, and every candidate both paths refine gets identical
+        results (same per-candidate RNG streams)."""
+        from lrr_tpu.pipeline.registration import register_locations_staged
+
+        ctx, fixed, moving, true, cfg = pair_ctx
+        svm = surrogate_svm(rng)
+        queries = jnp.asarray(
+            rng.uniform(22.0, 42.0, (3, 3)).astype(np.float32)
+        )
+        key = jax.random.key(7)
+        narrow = register_locations_staged(
+            ctx, queries, cfg, svm, key, lane_budget=1
+        )
+        wide = register_locations_staged(
+            ctx, queries, cfg, svm, key, lane_budget=64
+        )
+        np.testing.assert_array_equal(
+            np.asarray(narrow.selected), np.asarray(wide.selected)
+        )
+        ref_n = np.asarray(narrow.refined)
+        ref_w = np.asarray(wide.refined)
+        # groups over-refine (deeper ranks in the same wave) but never skip
+        assert (ref_n <= ref_w).all()
+        np.testing.assert_allclose(
+            np.asarray(narrow.probability)[ref_n],
+            np.asarray(wide.probability)[ref_n],
+            rtol=1e-5, atol=1e-6,
+        )
+
     def test_staged_mesh_matches_single_device(self, pair_ctx, rng):
         """Early exit + data parallelism compose: the staged path on an
         8-device mesh reproduces single-device staged decisions (same waves,
