@@ -225,6 +225,162 @@ def voronoi_map_exact(
     return idx.reshape(-1)[:n_vox].reshape(D, H, W)
 
 
+def _block_bbox_d2(xyz, mask, lo, hi):
+    """Squared distance from each feature to a physical bbox [lo, hi]
+    (component-wise f32 — exact, no matmul)."""
+    d = jnp.maximum(jnp.maximum(lo[None, :] - xyz, xyz - hi[None, :]), 0.0)
+    d2 = d[:, 0] ** 2 + d[:, 1] ** 2 + d[:, 2] ** 2
+    return jnp.where(mask, d2, jnp.inf)
+
+
+def _block_flags(xyz, mask, origin, spacing, shape_zyx, block, b):
+    """Candidate flags for one block: features within (min feature-to-bbox
+    distance + block diagonal) of the block's bbox.  Any voxel's true NN
+    provably lies in that set (triangle inequality through the block's
+    nearest feature)."""
+    D, H, W = shape_zyx
+    nby, nbx = H // block, W // block
+    diam = jnp.sqrt(jnp.sum(((block - 1) * spacing) ** 2))
+    bz = b // (nby * nbx)
+    by = (b // nbx) % nby
+    bx = b % nbx
+    lo = origin + jnp.stack([bx, by, bz]).astype(jnp.float32) * block * spacing
+    hi = lo + (block - 1) * spacing
+    d2 = _block_bbox_d2(xyz, mask, lo, hi)
+    r = jnp.sqrt(jnp.min(d2)) + diam
+    return mask & (jnp.sqrt(d2) <= r * (1.0 + 1e-6) + 1e-3), lo
+
+
+@partial(jax.jit, static_argnames=("shape_zyx", "block"))
+def _block_candidate_counts(xyz, mask, origin, spacing, shape_zyx, block=32):
+    """Per-block candidate counts (see _block_flags), vmapped over blocks."""
+    D, H, W = shape_zyx
+    nb = (D // block) * (H // block) * (W // block)
+
+    def one(b):
+        flag, _ = _block_flags(xyz, mask, origin, spacing, shape_zyx, block, b)
+        return jnp.sum(flag.astype(jnp.int32))
+
+    return jax.vmap(one)(jnp.arange(nb, dtype=jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("shape_zyx", "block", "cap"))
+def _pruned_exact_blocks(
+    xyz, mask, origin, spacing, shape_zyx, blocks, block, cap
+):
+    """Exact NN indices for a list of blocks, searching only each block's
+    candidate set (see _block_candidate_counts; caller guarantees the count
+    fits `cap`).  Returns int32 [m, block, block, block] global indices
+    (-1 where no feature exists).  Bit-identical to the full brute force:
+    candidates keep ascending global order (cumsum compaction), so f32
+    distance ties break toward the lowest global index in both."""
+    D, H, W = shape_zyx
+    n = xyz.shape[0]
+    # sentinel row (index n) for unused candidate slots
+    fx = jnp.concatenate([xyz[:, 0], jnp.full((1,), 1e18, xyz.dtype)])
+    fy = jnp.concatenate([xyz[:, 1], jnp.full((1,), 1e18, xyz.dtype)])
+    fz = jnp.concatenate([xyz[:, 2], jnp.full((1,), 1e18, xyz.dtype)])
+    # bound the [chunk, cap] distance tile near 128 MB: the sequential
+    # per-block map must run FEW LARGE ops (small tiles left the TPU
+    # overhead-bound: 38 s at 61M voxels with 16 MB tiles, prep in-loop)
+    chunk = max(256, min(block ** 3, (1 << 25) // cap))
+    n_chunks = (block ** 3 + chunk - 1) // chunk
+
+    def make_cand(b):
+        # candidate table construction is vmapped over ALL blocks at once
+        # (a 65k cumsum + scatter per block is pure overhead inside the
+        # sequential block loop)
+        flag, lo = _block_flags(xyz, mask, origin, spacing, shape_zyx, block, b)
+        pos = jnp.cumsum(flag.astype(jnp.int32)) - 1
+        cand = jnp.full((cap,), n, jnp.int32)
+        cand = cand.at[jnp.where(flag, pos, cap)].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop"
+        )
+        return cand, lo
+
+    cands, los = jax.vmap(make_cand)(blocks)
+
+    def one(args):
+        cand, lo = args
+        cx, cy, cz = fx[cand], fy[cand], fz[cand]
+
+        def chunk_fn(c):
+            flat = c * chunk + jnp.arange(chunk)
+            zi = flat // (block * block)
+            yi = (flat // block) % block
+            xi = flat % block
+            qx = lo[0] + xi.astype(jnp.float32) * spacing[0]
+            qy = lo[1] + yi.astype(jnp.float32) * spacing[1]
+            qz = lo[2] + zi.astype(jnp.float32) * spacing[2]
+            dx = qx[:, None] - cx[None, :]
+            dy = qy[:, None] - cy[None, :]
+            dz = qz[:, None] - cz[None, :]
+            dv = dx * dx + dy * dy + dz * dz
+            best = jnp.argmin(dv, axis=-1)
+            ok = (
+                jnp.take_along_axis(dv, best[:, None], -1)[:, 0] < 1e30
+            ) & (cand[best] < n)
+            return jnp.where(ok, cand[best], -1).astype(jnp.int32)
+
+        idx = jax.lax.map(chunk_fn, jnp.arange(n_chunks))
+        return idx.reshape(-1)[: block ** 3].reshape(block, block, block)
+
+    return jax.lax.map(one, (cands, los))
+
+
+def voronoi_map_exact_blocked(
+    xyz, mask, origin, spacing, shape_zyx, block: int = 32
+):
+    """Exact nearest-feature-index volume via per-block candidate pruning.
+
+    Same answers as `voronoi_map_exact` (the reference's Danielsson map,
+    compute_distance_map.cxx:139-150) at a fraction of the work: a cheap
+    pass bounds each 32-voxel block's NN search radius (nearest feature to
+    the block + block diagonal — a provable cover of every voxel's true
+    NN), the host groups blocks into power-of-two candidate-capacity
+    buckets, and one compiled program per bucket brute-forces each block
+    against only its candidates (measured 43 s -> 7.2 s per 61M-voxel map
+    at CT feature density on v5e; most blocks search ~4k candidates instead
+    of 65k).  Host-side bucket control flow, so call outside jit."""
+    D, H, W = shape_zyx
+    if D % block or H % block or W % block:
+        return voronoi_map_exact(xyz, mask, origin, spacing, shape_zyx)
+    counts = np.asarray(
+        _block_candidate_counts(xyz, mask, origin, spacing, shape_zyx, block)
+    )
+    n = xyz.shape[0]
+    nbz, nby, nbx = D // block, H // block, W // block
+    # assembly stays ON DEVICE: a [nb, block^3] buffer scattered per bucket,
+    # reshaped to [D, H, W] at the end — round-tripping the 245 MB volume
+    # through the remote-TPU tunnel for host assembly cost ~28 s at
+    # reference scale (vs 7 s of actual compute)
+    vol_b = jnp.zeros((nbz * nby * nbx, block, block, block), jnp.int32)
+    # smallest power-of-two capacity that fits each block's candidate set
+    caps = [c for c in (1 << np.arange(10, 18)) if c < n + 1] + [n + 1]
+    block_cap = np.asarray(
+        [min(c for c in caps if c >= max(cnt, 1)) for cnt in counts]
+    )
+    for cap in caps:
+        ids = np.nonzero(block_cap == cap)[0]
+        if ids.size == 0:
+            continue
+        m = ids.size
+        pad = (1 << int(np.ceil(np.log2(max(m, 1))))) - m
+        ids_p = jnp.asarray(
+            np.concatenate([ids, np.repeat(ids[:1], pad)]).astype(np.int32)
+        )
+        out = _pruned_exact_blocks(
+            xyz, mask, origin, spacing, shape_zyx, ids_p, block, int(cap),
+        )
+        # padding entries duplicate ids[0] with identical content
+        vol_b = vol_b.at[ids_p].set(out)
+    return (
+        vol_b.reshape(nbz, nby, nbx, block, block, block)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(D, H, W)
+    )
+
+
 @jax.custom_batching.custom_vmap
 def flat_take(table: jax.Array, idx: jax.Array) -> jax.Array:
     """take(table, idx, axis=0) whose batching rule flattens the index
@@ -351,6 +507,11 @@ def build_feature_voronoi(
             )(xyz, mask, origin, spacing)
             return vol, origin, spacing
 
-    builder = voronoi_map_exact if exact else voronoi_map
-    vol = builder(xyz, mask, origin, spacing, shape_zyx)
+    if exact and int(np.prod(shape)) > (1 << 22):
+        # large exact maps go through per-block candidate pruning (same
+        # answers, ~10x less work at CT feature density)
+        vol = voronoi_map_exact_blocked(xyz, mask, origin, spacing, shape_zyx)
+    else:
+        builder = voronoi_map_exact if exact else voronoi_map
+        vol = builder(xyz, mask, origin, spacing, shape_zyx)
     return vol, origin, spacing

@@ -6,7 +6,13 @@ import pytest
 from lrr_tpu.config import IndexingConfig
 from lrr_tpu.matching import generate_candidates, initial_transforms
 from lrr_tpu.ops.knn import knn, nn1, radius_count
-from lrr_tpu.ops.voronoi import build_feature_voronoi, lookup, voronoi_map
+from lrr_tpu.ops.voronoi import (
+    build_feature_voronoi,
+    lookup,
+    voronoi_map,
+    voronoi_map_exact,
+    voronoi_map_exact_blocked,
+)
 from lrr_tpu.types import DescriptorSet, KeypointSet
 
 
@@ -64,6 +70,29 @@ class TestVoronoi:
         # JFA+1 may rarely pick an equidistant/near-equidistant neighbor;
         # require the distance to be essentially optimal everywhere
         np.testing.assert_allclose(got_d, want_d, rtol=1e-3, atol=1e-3)
+
+    def test_blocked_exact_matches_plain_exact(self, rng):
+        """The per-block pruned exact builder (the large-map production
+        path) is bit-identical to plain exact brute force — the pruning
+        radius provably covers every voxel's true NN and ties break toward
+        the lowest feature index in both."""
+        for n, ext, shape in [
+            (700, 90, (96, 96, 96)),
+            (40, 110, (128, 64, 96)),  # sparse: wide radii, mixed buckets
+        ]:
+            pts = rng.uniform(0, ext, (n, 3)).astype(np.float32)
+            mask = jnp.asarray(rng.uniform(size=n) > 0.2)
+            origin = jnp.asarray([-2.0, 1.0, 0.5], jnp.float32)
+            spacing = jnp.ones(3, jnp.float32)
+            a = np.asarray(
+                voronoi_map_exact(jnp.asarray(pts), mask, origin, spacing, shape)
+            )
+            b = np.asarray(
+                voronoi_map_exact_blocked(
+                    jnp.asarray(pts), mask, origin, spacing, shape
+                )
+            )
+            np.testing.assert_array_equal(a, b)
 
     def test_masked_features_excluded(self, rng):
         pts = np.stack([np.zeros(3), np.full(3, 5.0)]).astype(np.float32)
