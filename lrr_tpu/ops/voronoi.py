@@ -44,6 +44,11 @@ _OFFSETS = [
 
 BIG = jnp.float32(1e30)
 
+# exact maps above this voxel count build via per-block candidate pruning
+# (voronoi_map_exact_blocked); below it the plain brute force is already
+# fast and its executable simpler
+_BLOCKED_MIN_VOXELS = 1 << 22
+
 
 def _shift_dynamic(arr: jax.Array, dz, dy, dx, step, fill) -> jax.Array:
     """Shift the LAST THREE axes by (dz, dy, dx) * step with constant fill
@@ -507,7 +512,7 @@ def build_feature_voronoi(
             )(xyz, mask, origin, spacing)
             return vol, origin, spacing
 
-    if exact and int(np.prod(shape)) > (1 << 22):
+    if exact and int(np.prod(shape)) > _BLOCKED_MIN_VOXELS:
         # large exact maps go through per-block candidate pruning (same
         # answers, ~10x less work at CT feature density)
         vol = voronoi_map_exact_blocked(xyz, mask, origin, spacing, shape_zyx)

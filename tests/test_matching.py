@@ -94,6 +94,20 @@ class TestVoronoi:
             )
             np.testing.assert_array_equal(a, b)
 
+    def test_build_feature_voronoi_blocked_wiring(self, rng, monkeypatch):
+        """build_feature_voronoi routes large exact maps through the blocked
+        builder and gets the identical map (threshold forced to 0 so a
+        test-sized map exercises the wiring)."""
+        import lrr_tpu.ops.voronoi as V
+
+        pts = rng.uniform(2, 60, (200, 3)).astype(np.float32)
+        mask = jnp.ones(200, bool)
+        plain, o1, s1 = build_feature_voronoi(jnp.asarray(pts), mask, 1.0)
+        monkeypatch.setattr(V, "_BLOCKED_MIN_VOXELS", 0)
+        blocked, o2, s2 = V.build_feature_voronoi(jnp.asarray(pts), mask, 1.0)
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(blocked))
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
     def test_masked_features_excluded(self, rng):
         pts = np.stack([np.zeros(3), np.full(3, 5.0)]).astype(np.float32)
         mask = jnp.asarray([False, True])
