@@ -286,6 +286,24 @@ def cmd_register(args):
         )
         sel = int(out.selected)
         print(f"query {t}: selected candidate {sel}")
+        if getattr(args, "watch", False) and sel >= 0:
+            # per-iteration convergence stream of the accepted candidate —
+            # the reference's display callback + LAST_ITER replay
+            # (cdcl_display.h:16, itkLocationRegistration.cxx:2550-2581)
+            from lrr_tpu.pipeline.registration import watch_candidate
+
+            def show(iteration, weighted_error, number_matches):
+                print(
+                    f"  iter {int(iteration):3d}  weighted_error "
+                    f"{float(weighted_error):.6f}  matches "
+                    f"{int(number_matches)}", flush=True,
+                )
+
+            res = watch_candidate(
+                ctx, jnp.asarray(q), cfg, jax.random.key(t), sel, show
+            )
+            print(f"  replay converged={bool(res.converged)} "
+                  f"final weighted_error={float(res.weighted_error):.6f}")
 
 
 def cmd_estimate(args):
@@ -641,6 +659,12 @@ def main(argv=None):
         "watershed regions (FeaturesInRegions) instead of an ROI box",
     )
     s.add_argument("--segment-fixed", default=None)
+    s.add_argument(
+        "--watch", action="store_true",
+        help="stream the accepted candidate's per-iteration convergence "
+        "(weighted error, match count) after selection — the headless "
+        "analog of the reference's interactive display callback",
+    )
     s.set_defaults(fn=cmd_register)
 
     s = sub.add_parser("estimate")

@@ -815,6 +815,49 @@ def register_location_rigid(
     return res, best, jnp.any(usable)
 
 
+def watch_candidate(
+    ctx: PairContext,
+    query: jax.Array,  # [3]
+    cfg: PipelineConfig,
+    key: jax.Array,
+    candidate: int,
+    progress_callback,
+):
+    """Replay ONE candidate's refinement with a per-iteration host callback
+    `(iteration, weighted_error, number_matches)` — the headless analog of
+    the reference's interactive display callback and LAST_ITER replay
+    (cdcl/display/cdcl_display.h:16, itkLocationRegistration.cxx:2550-2581):
+    the driver re-runs the accepted candidate to stream/draw its
+    convergence.  Uses the SAME per-candidate RNG stream as
+    register_location / the staged waves, so the replayed refinement is the
+    production refinement (same matches and weights; transforms agree to
+    the last ulp — inserting the host callback changes XLA fusion in the
+    loop body, nothing more), with observability added.
+
+    Returns the replayed ICPResult."""
+    cands = generate_candidates(
+        query, ctx.moving_descriptors, ctx.fixed_descriptors, cfg.indexing,
+        nn_table=ctx.nn_table,
+    )
+    inits = initial_transforms(
+        cands, ctx.moving_descriptors, ctx.fixed_descriptors, query
+    )
+    init = jax.tree.map(lambda x: x[candidate], inits)
+    keys = jax.random.split(key, cfg.indexing.num_candidates)
+    _, _, k1, _ = jax.random.split(keys[candidate], 4)
+
+    m_sel, f_sel, _, _, _, _ = _candidate_rois(ctx, init, query, cfg)
+    moving_roi = ctx.moving_features.replace(mask=m_sel)
+    fixed_roi = ctx.fixed_features.replace(mask=f_sel)
+    return register_candidate(
+        moving_roi, fixed_roi, ctx.fixed_vor, ctx.moving_vor, init,
+        cfg.estimation, k1,
+        moving_targets=ctx.moving_features, fixed_targets=ctx.fixed_features,
+        fixed_grid=ctx.fixed_grid, moving_grid=ctx.moving_grid,
+        progress_callback=progress_callback,
+    )
+
+
 def register_location(
     ctx: PairContext,
     query: jax.Array,  # [3]

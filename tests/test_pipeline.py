@@ -279,6 +279,41 @@ class TestRegisterLocationsStaged:
                 assert not ver_s[q, earlier].any()
 
 
+    def test_watch_candidate_replays_production_refinement(self, pair_ctx, rng):
+        """watch_candidate (the display-callback / LAST_ITER replay analog)
+        reproduces the batched path's selected transform (same RNG stream —
+        up to last-ulp fusion differences the host callback introduces in
+        the compiled loop) and streams per-iteration progress to the host."""
+        from lrr_tpu.pipeline.registration import (
+            register_location,
+            watch_candidate,
+        )
+
+        ctx, fixed, moving, true, cfg = pair_ctx
+        svm = surrogate_svm(rng)
+        query = jnp.asarray([32.0, 30.0, 33.0])
+        key = jax.random.key(5)
+        out = register_location(ctx, query, cfg, svm, key)
+        sel = int(out.selected)
+        assert sel >= 0
+
+        seen = []
+        res = watch_candidate(
+            ctx, query, cfg, key, sel,
+            lambda it, we, nm: seen.append((int(it), float(we), int(nm))),
+        )
+        jax.block_until_ready(res.trans.t)
+        assert len(seen) >= 1
+        assert all(nm >= 1 for _, _, nm in seen)
+        np.testing.assert_allclose(
+            np.asarray(res.trans.A), np.asarray(out.trans.A)[sel],
+            rtol=0, atol=5e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.trans.t), np.asarray(out.trans.t)[sel],
+            rtol=0, atol=5e-4,
+        )
+
     def test_staged_lane_budget_invariance(self, pair_ctx, rng):
         """Selection is invariant to the wave group width: lane_budget=1
         (strict rank-by-rank — the reference's sequential schedule) and the
