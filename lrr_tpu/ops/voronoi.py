@@ -291,32 +291,46 @@ def _pruned_exact_blocks(
     chunk = max(256, min(block ** 3, (1 << 25) // cap))
     n_chunks = (block ** 3 + chunk - 1) // chunk
 
+    nby, nbx = H // block, W // block
+
     def make_cand(b):
         # candidate table construction is vmapped over ALL blocks at once
         # (a 65k cumsum + scatter per block is pure overhead inside the
         # sequential block loop)
-        flag, lo = _block_flags(xyz, mask, origin, spacing, shape_zyx, block, b)
+        flag, _ = _block_flags(xyz, mask, origin, spacing, shape_zyx, block, b)
         pos = jnp.cumsum(flag.astype(jnp.int32)) - 1
         cand = jnp.full((cap,), n, jnp.int32)
         cand = cand.at[jnp.where(flag, pos, cap)].set(
             jnp.arange(n, dtype=jnp.int32), mode="drop"
         )
-        return cand, lo
+        return cand
 
-    cands, los = jax.vmap(make_cand)(blocks)
+    cands = jax.vmap(make_cand)(blocks)
 
     def one(args):
-        cand, lo = args
+        cand, b = args
         cx, cy, cz = fx[cand], fy[cand], fz[cand]
+        bz = b // (nby * nbx)
+        by = (b // nbx) % nby
+        bx = b % nbx
 
         def chunk_fn(c):
             flat = c * chunk + jnp.arange(chunk)
             zi = flat // (block * block)
             yi = (flat // block) % block
             xi = flat % block
-            qx = lo[0] + xi.astype(jnp.float32) * spacing[0]
-            qy = lo[1] + yi.astype(jnp.float32) * spacing[1]
-            qz = lo[2] + zi.astype(jnp.float32) * spacing[2]
+            # voxel coordinates from GLOBAL indices, with the exact same
+            # arithmetic as voronoi_map_exact's chunk_fn (origin + gi*sp):
+            # deriving them from the block's lo instead added one f32
+            # rounding step that could flip argmin between near-equidistant
+            # features (~1 ulp, 1-2 voxels per 262k with non-dyadic origins)
+            # and broke the bit-identity contract
+            gxi = bx * block + xi
+            gyi = by * block + yi
+            gzi = bz * block + zi
+            qx = origin[0] + gxi.astype(jnp.float32) * spacing[0]
+            qy = origin[1] + gyi.astype(jnp.float32) * spacing[1]
+            qz = origin[2] + gzi.astype(jnp.float32) * spacing[2]
             dx = qx[:, None] - cx[None, :]
             dy = qy[:, None] - cy[None, :]
             dz = qz[:, None] - cz[None, :]
@@ -330,7 +344,7 @@ def _pruned_exact_blocks(
         idx = jax.lax.map(chunk_fn, jnp.arange(n_chunks))
         return idx.reshape(-1)[: block ** 3].reshape(block, block, block)
 
-    return jax.lax.map(one, (cands, los))
+    return jax.lax.map(one, (cands, blocks))
 
 
 def voronoi_map_exact_blocked(

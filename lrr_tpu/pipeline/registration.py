@@ -520,9 +520,16 @@ def register_locations_staged(
     verification in rank order, and later waves run only while some query is
     still unresolved.  Refined candidates get bit-identical results to
     `register_location` (same per-candidate RNG streams; on a mesh,
-    identical up to partition-induced reduction order); candidates the
-    reference would never refine are left with null results (verified=False,
-    probability=0).
+    identical up to partition-induced reduction order).  Candidates in
+    ranks NO WAVE reached are left with null results (verified=False,
+    probability=0); but within a multi-rank wave (k0/k_r > 1) ranks deeper
+    than the accepted one ARE refined and their real results recorded —
+    `refined`/`verified`/`probability` can be populated (even True) at
+    ranks the reference's sequential early exit would never reach.  The
+    acceptance rule is unaffected (first verified in rank order wins);
+    consumers needing the reference's exact "never refined" sparsity should
+    mask candidate slots whose rank position is deeper than the selected
+    one.
 
     The rank-group width adapts to `lane_budget` (per-chip lanes that keep
     the vmapped ICP near its efficient batch): with 64 queries each wave

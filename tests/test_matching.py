@@ -76,14 +76,21 @@ class TestVoronoi:
         path) is bit-identical to plain exact brute force — the pruning
         radius provably covers every voxel's true NN and ties break toward
         the lowest feature index in both."""
-        for n, ext, shape in [
-            (700, 90, (96, 96, 96)),
-            (40, 110, (128, 64, 96)),  # sparse: wide radii, mixed buckets
+        for n, ext, shape, origin, spacing in [
+            (700, 90, (96, 96, 96),
+             [-2.0, 1.0, 0.5], [1.0, 1.0, 1.0]),
+            (40, 110, (128, 64, 96),  # sparse: wide radii, mixed buckets
+             [-2.0, 1.0, 0.5], [1.0, 1.0, 1.0]),
+            # non-dyadic origin + non-unit spacing: the exact case where a
+            # block-lo-relative coordinate derivation differed by ~1 ulp
+            # from the plain builder and flipped near-equidistant argmins
+            (700, 60, (96, 96, 96),
+             [-1.7300001, 2.9333334, 0.1234567], [0.7, 0.7, 0.7]),
         ]:
             pts = rng.uniform(0, ext, (n, 3)).astype(np.float32)
             mask = jnp.asarray(rng.uniform(size=n) > 0.2)
-            origin = jnp.asarray([-2.0, 1.0, 0.5], jnp.float32)
-            spacing = jnp.ones(3, jnp.float32)
+            origin = jnp.asarray(origin, jnp.float32)
+            spacing = jnp.asarray(spacing, jnp.float32)
             a = np.asarray(
                 voronoi_map_exact(jnp.asarray(pts), mask, origin, spacing, shape)
             )
