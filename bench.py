@@ -84,25 +84,39 @@ def build_workload(size, n_queries, seed=11):
     lo = 0.3 * size
     hi = 0.7 * size
 
-    # GT-calibrated verifier (see module docstring).  Calibration queries
-    # come from a DISJOINT rng stream from the bench queries below; the
-    # count matches the bench batch so the calibration waves reuse the
-    # exact executables the timed path compiles anyway.
-    from lrr_tpu.verify.surrogate import calibrate_verifier
+    # SHIPPED verifier (the default, like the reference's one-off offline
+    # training_data_all.model loaded at serve time): zero per-pair cost.
+    # BENCH_CALIBRATE=1 keeps the per-pair GT-calibration path (the
+    # documented retraining tool) measurable; its queries come from a
+    # DISJOINT rng stream from the bench queries below.
+    if os.environ.get("BENCH_CALIBRATE") == "1":
+        from lrr_tpu.verify.surrogate import calibrate_verifier
 
-    cal_queries = np.random.default_rng(2).uniform(
-        lo, hi, (n_queries, 3)
-    ).astype(np.float32)
-    t0 = time.time()
-    svm, n_pos, n_neg = calibrate_verifier(
-        ctx, cfg, true, cal_queries, jax.random.key(99)
-    )
-    calib_s = time.time() - t0
-    print(
-        f"# calibrate done in {calib_s:.1f}s "
-        f"({n_pos} aligned/{n_neg} misaligned)",
-        file=sys.stderr, flush=True,
-    )
+        cal_queries = np.random.default_rng(2).uniform(
+            lo, hi, (n_queries, 3)
+        ).astype(np.float32)
+        t0 = time.time()
+        svm, n_pos, n_neg = calibrate_verifier(
+            ctx, cfg, true, cal_queries, jax.random.key(99)
+        )
+        calib_s = time.time() - t0
+        print(
+            f"# calibrate done in {calib_s:.1f}s "
+            f"({n_pos} aligned/{n_neg} misaligned)",
+            file=sys.stderr, flush=True,
+        )
+    else:
+        from lrr_tpu.verify import load_default_verifier
+
+        t0 = time.time()
+        svm = load_default_verifier()
+        calib_s = time.time() - t0
+        n_pos = n_neg = -1  # not calibrated here: model shipped pre-trained
+        print(
+            f"# shipped verifier loaded in {calib_s:.2f}s "
+            f"({svm.sv.shape[0]} SVs)",
+            file=sys.stderr, flush=True,
+        )
 
     queries = jnp.asarray(
         np.random.default_rng(1).uniform(lo, hi, (n_queries, 3)).astype(np.float32)

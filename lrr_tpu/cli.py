@@ -188,12 +188,11 @@ def cmd_register(args):
     from lrr_tpu.ops.voronoi import build_feature_voronoi
     from lrr_tpu.pipeline import (
         PairContext,
-        register_location,
         register_location_rigid,
     )
+    from lrr_tpu.pipeline.registration import register_locations_staged
     from lrr_tpu.pipeline.results import write_results
-    from lrr_tpu.verify import parse_libsvm_model
-    from lrr_tpu.verify.svm import SvmModel, fit_rbf_classifier
+    from lrr_tpu.verify import load_default_verifier, parse_libsvm_model
 
     from lrr_tpu.config import EstimationConfig, IndexingConfig
 
@@ -237,12 +236,10 @@ def cmd_register(args):
         with open(args.svm_model) as f:
             svm = parse_libsvm_model(f.read())
     else:
-        print("warning: no SVM model given; using permissive surrogate")
-        svm = SvmModel(
-            gamma=0.1, rho=-1.0,
-            sv=np.zeros((1, 8), np.float32), sv_coef=np.zeros(1, np.float32),
-            prob_a=-1.0, prob_b=0.0,
-        )
+        # the shipped verifier — the reference loads training_data_all.model
+        # from the CWD by default (itkLocationRegistration.cxx:2088-2109)
+        svm = load_default_verifier()
+        print("using shipped verifier (lrr_tpu/data/verifier_default.model)")
 
     os.makedirs(args.out, exist_ok=True)
     with open(args.locs) as f:
@@ -251,8 +248,8 @@ def cmd_register(args):
             for line in f
             if len(line.split()) >= 3
         ]
-    for t, q in enumerate(queries):
-        if getattr(args, "model", "affine") == "rigid":
+    if getattr(args, "model", "affine") == "rigid":
+        for t, q in enumerate(queries):
             res, best, any_usable = register_location_rigid(
                 ctx, jnp.asarray(q), cfg, jax.random.key(t)
             )
@@ -273,13 +270,25 @@ def cmd_register(args):
                 )
             print(f"query {t}: rigid candidate {int(best)} "
                   f"converged={bool(res.converged)}")
-            continue
-        out = register_location(
-            ctx, jnp.asarray(q), cfg, svm, jax.random.key(t)
-        )
-        write_results(os.path.join(args.out, f"results{t:06d}"), out, q)
-        from lrr_tpu.pipeline.results import write_reference_artifacts
+        return
 
+    # PRODUCTION SERVING PATH: all queries batched through the staged
+    # early-exit waves — the same code path (and executables) as bench.py;
+    # the reference's sequential refine-in-rank-order early exit
+    # (itkLocationRegistration.cxx:2332-2528).  Refined candidates are
+    # bit-identical to the refine-all register_location with per-query keys
+    # split from key(0).
+    base_key = jax.random.key(0)
+    qkeys = jax.random.split(base_key, len(queries))
+    outs = register_locations_staged(
+        ctx, jnp.asarray(queries, jnp.float32), cfg, svm, base_key
+    )
+    jax.block_until_ready(outs.selected)
+    from lrr_tpu.pipeline.results import write_reference_artifacts
+
+    for t, q in enumerate(queries):
+        out = jax.tree.map(lambda x: x[t], outs)
+        write_results(os.path.join(args.out, f"results{t:06d}"), out, q)
         write_reference_artifacts(
             os.path.join(args.out, "reference_format"), t, out, q,
             roi_mm=cfg.estimation.roi_mm,
@@ -299,8 +308,10 @@ def cmd_register(args):
                     f"{int(number_matches)}", flush=True,
                 )
 
+            # replay with the SAME per-query key the staged run derived
+            # (qkeys[t]) so the stream matches the recorded result
             res = watch_candidate(
-                ctx, jnp.asarray(q), cfg, jax.random.key(t), sel, show
+                ctx, jnp.asarray(q), cfg, qkeys[t], sel, show
             )
             print(f"  replay converged={bool(res.converged)} "
                   f"final weighted_error={float(res.weighted_error):.6f}")
@@ -444,19 +455,15 @@ def cmd_panels(args):
 def cmd_batch(args):
     from lrr_tpu.config import PipelineConfig
     from lrr_tpu.pipeline.batch import load_pair_list, run_batch
-    from lrr_tpu.verify import parse_libsvm_model
-    from lrr_tpu.verify.svm import SvmModel
+    from lrr_tpu.verify import load_default_verifier, parse_libsvm_model
 
     jobs = load_pair_list(args.pairs)
     if args.svm_model:
         with open(args.svm_model) as f:
             svm = parse_libsvm_model(f.read())
     else:
-        svm = SvmModel(
-            gamma=0.1, rho=-1.0,
-            sv=np.zeros((1, 8), np.float32), sv_coef=np.zeros(1, np.float32),
-            prob_a=-1.0, prob_b=0.0,
-        )
+        svm = load_default_verifier()
+        print("using shipped verifier (lrr_tpu/data/verifier_default.model)")
     report = run_batch(jobs, PipelineConfig(), svm, args.out)
     print(
         f"completed={report['completed']} failed={report['failed']} "

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from lrr_tpu.config import PipelineConfig
 from lrr_tpu.io.native_loader import VolumeLoader
 from lrr_tpu.pipeline.artifacts import prepare_pair_cached
-from lrr_tpu.pipeline.registration import register_locations
+from lrr_tpu.pipeline.registration import register_locations_staged
 from lrr_tpu.pipeline.results import write_results
 from lrr_tpu.types import Volume
 from lrr_tpu.utils.timers import StageTimers
@@ -109,13 +109,17 @@ def run_batch(
                     os.path.join(cache_dir, f"{j.name}.npz"),
                 )
             # fixed-size query batches: one compiled program services every
-            # pair (shapes repeat), sharded over the mesh when given
+            # pair (shapes repeat), sharded over the mesh when given.
+            # register_locations_staged is the PRODUCTION serving path (the
+            # reference's refine-in-rank-order early exit as batched waves;
+            # same executables as bench.py) — refine-all register_locations
+            # cost ~C x the reference's work per query here
             for b0 in range(0, len(j.queries), query_batch):
                 qs = j.queries[b0 : b0 + query_batch]
                 n_real = len(qs)
                 padded = qs + [qs[-1]] * (query_batch - n_real)
                 with timers.time("register"):
-                    outs = register_locations(
+                    outs = register_locations_staged(
                         ctx, jnp.asarray(padded, jnp.float32), cfg, svm,
                         jax.random.key(seed + b0), mesh=mesh,
                     )

@@ -3,9 +3,11 @@ from lrr_tpu.verify.svm import (
     REFERENCE_FEATURE_MAX,
     REFERENCE_FEATURE_MIN,
     fit_rbf_classifier,
+    load_default_verifier,
     parse_libsvm_model,
     predict_probability,
     scale_measurements,
+    serialize_libsvm_model,
 )
 
 __all__ = [
@@ -13,7 +15,9 @@ __all__ = [
     "REFERENCE_FEATURE_MAX",
     "REFERENCE_FEATURE_MIN",
     "fit_rbf_classifier",
+    "load_default_verifier",
     "parse_libsvm_model",
     "predict_probability",
     "scale_measurements",
+    "serialize_libsvm_model",
 ]

@@ -49,7 +49,7 @@ def surrogate_verifier(seed: int = 0, n: int = 128, steps: int = 200) -> SvmMode
     return fit_rbf_classifier(Xs, y, steps=steps)
 
 
-def calibrate_verifier(
+def collect_labeled_measurements(
     ctx,
     cfg,
     true_transform,
@@ -57,28 +57,20 @@ def calibrate_verifier(
     key,
     good_mm: float = 2.0,
     bad_mm: float = 6.0,
-    steps: int = 300,
 ):
-    """Train the verifier on GT-labeled measurements from the workload
-    itself — the reference's own training procedure (its
-    `training_data_all.model` was fit offline on measurement vectors from
-    registrations labeled by ground truth; libsvm/svm-train).
+    """GT-labeled 8-d measurement vectors from one pair's workload.
 
-    Runs the refine-ALL path on `cal_queries` with no early exit, labels
+    Runs the refine-ALL path on `cal_queries` with no early exit and labels
     every refined candidate by its median ground-truth mapping error
-    (aligned < good_mm, misaligned > bad_mm, ambiguous discarded), and fits
-    the RBF classifier on those 8-d measurements.  This adapts the verifier
-    to the workload's measurement statistics (covariance traces scale with
-    ROI geometry; angle-agreement floors depend on the data's normal noise)
-    instead of hard-coding ranges.
+    (aligned < good_mm, misaligned > bad_mm, ambiguous discarded).  Returns
+    (X [n, 8] float32, y [n] {0, 1}) — the raw corpus rows the reference's
+    own `training_data_all` file was built from (libsvm svm-train inputs;
+    rrl/itkLocationRegistration.cxx:2088-2109).
 
-    Returns (model, n_aligned, n_misaligned); falls back to the static
-    surrogate when either class has fewer than 8 examples.
-
-    Implementation detail that matters for wall-clock: calibration runs
-    through `register_locations_staged` with `accept_override=2.0` (nothing
-    verifies, so every usable candidate gets refined — the refine-all
-    semantics) instead of the vmapped refine-all program.  When the
+    Implementation detail that matters for wall-clock: the refine-all
+    semantics run through `register_locations_staged` with
+    `accept_override=2.0` (nothing verifies, so every usable candidate gets
+    refined) instead of the vmapped refine-all program.  When the
     calibration query count equals the serving batch size, the waves reuse
     the EXACT executables the bench/serving path compiles anyway — the
     refine-all jit was a separate several-minute XLA compile at 16x10
@@ -133,13 +125,37 @@ def calibrate_verifier(
         1.0 if aligned[q, c] else 0.0
         for q, c in zip(*np.nonzero(aligned | misaligned))
     ]
+    if not meas:
+        return np.zeros((0, 8), np.float32), np.zeros((0,), np.float32)
+    return np.stack(meas).astype(np.float32), np.asarray(labels, np.float32)
 
-    y = np.asarray(labels)
+
+def calibrate_verifier(
+    ctx,
+    cfg,
+    true_transform,
+    cal_queries,
+    key,
+    good_mm: float = 2.0,
+    bad_mm: float = 6.0,
+    steps: int = 300,
+):
+    """Train a verifier on GT-labeled measurements from ONE pair's workload
+    (see `collect_labeled_measurements`) — the documented training tool for
+    adapting the verifier to a new measurement regime.  The production
+    default is the SHIPPED model (`load_default_verifier`), trained offline
+    on a multi-pair multi-scale corpus exactly the way the reference ships
+    `training_data_all.model`.
+
+    Returns (model, n_aligned, n_misaligned); falls back to the static
+    surrogate when either class has fewer than 8 examples."""
+    X, y = collect_labeled_measurements(
+        ctx, cfg, true_transform, cal_queries, key, good_mm, bad_mm
+    )
     n_pos = int((y > 0).sum())
     n_neg = int((y == 0).sum())
     if n_pos < 8 or n_neg < 8:
-        return stand_in, n_pos, n_neg
-    X = np.stack(meas).astype(np.float32)
+        return surrogate_verifier(seed=7), n_pos, n_neg
     Xs = np.asarray(scale_measurements(jnp.asarray(X)))
     model = fit_rbf_classifier(Xs, y, steps=steps)
     return model, n_pos, n_neg

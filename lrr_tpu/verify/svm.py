@@ -25,6 +25,7 @@ This module provides the TPU-native equivalents:
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -181,6 +182,29 @@ def serialize_libsvm_model(model: SvmModel) -> str:
         feats = " ".join(f"{i}:{x:g}" for i, x in enumerate(v))
         out.append(f"{c:g} {feats}")
     return "\n".join(out) + "\n"
+
+
+DEFAULT_MODEL_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data", "verifier_default.model",
+)
+
+
+def load_default_verifier(path: str = DEFAULT_MODEL_PATH) -> SvmModel:
+    """The SHIPPED verifier — the analog of the reference's
+    `training_data_all.model`, which is trained ONCE offline and loaded
+    GT-free at serve time for every pair
+    (rrl/itkLocationRegistration.cxx:2088-2109, libsvm/svm_interface.cpp).
+
+    The committed file is produced by `scripts/train_default_verifier.py`
+    on GT-labeled measurements from a multi-pair, multi-scale synthetic
+    corpus (bench 64^3 pairs and reference-constants CT-scale pairs), so
+    the measurement statistics of both serving regimes are in-distribution.
+    `bench.py`, `cli register`, and `cli batch` load this by default;
+    `calibrate_verifier` remains the documented tool for retraining on a
+    new measurement regime."""
+    with open(path) as f:
+        return parse_libsvm_model(f.read())
 
 
 def fit_rbf_classifier(

@@ -97,6 +97,68 @@ def test_stage_pipeline_end_to_end(workdir):
 
 
 @pytest.mark.slow
+def test_register_cli_staged_equals_refine_all(workdir):
+    """The CLI `register` command serves through the staged early-exit path
+    (the same code path as bench.py); its recorded results must agree with
+    the refine-all `register_location` on the selected candidate — same
+    per-query RNG stream (qkeys split from key(0), as cmd_register does)."""
+    d = str(workdir)
+    res_path = os.path.join(d, "results", "results000000.json")
+    if not os.path.exists(res_path):
+        pytest.skip("stage pipeline test must run first")
+    rec = json.load(open(res_path))
+
+    import jax
+    import jax.numpy as jnp
+
+    from lrr_tpu.config import (
+        EstimationConfig, IndexingConfig, PipelineConfig,
+    )
+    from lrr_tpu.estimation import VoronoiGrid
+    from lrr_tpu.io import read_descriptors, read_features
+    from lrr_tpu.ops.voronoi import build_feature_voronoi
+    from lrr_tpu.pipeline import PairContext
+    from lrr_tpu.pipeline.registration import register_location
+    from lrr_tpu.verify import load_default_verifier
+
+    cfg = PipelineConfig(
+        indexing=IndexingConfig(num_candidates=4, max_query_keypoints=32),
+        estimation=EstimationConfig(
+            max_matches=1024, max_iterations=25, min_region_features=50
+        ),
+    )
+    fs_m = read_features(os.path.join(d, "moving_feat.vtk"))
+    fs_f = read_features(os.path.join(d, "fixed_feat.vtk"))
+    ctx = PairContext(
+        moving_features=fs_m,
+        fixed_features=fs_f,
+        moving_descriptors=read_descriptors(os.path.join(d, "moving_desc.vtk")),
+        fixed_descriptors=read_descriptors(os.path.join(d, "fixed_desc.vtk")),
+        moving_vor=VoronoiGrid(*build_feature_voronoi(fs_m.xyz, fs_m.mask)),
+        fixed_vor=VoronoiGrid(*build_feature_voronoi(fs_f.xyz, fs_f.mask)),
+    )
+    qkey = jax.random.split(jax.random.key(0), 1)[0]
+    out = register_location(
+        ctx, jnp.asarray(rec["query"], jnp.float32), cfg,
+        load_default_verifier(), qkey,
+    )
+    assert rec["selected"] == int(out.selected)
+    if rec["selected"] >= 0:
+        sel = rec["selected"]
+        cli_cand = rec["candidates"][sel]
+        tr = jax.tree.map(lambda a: a[sel], out.trans)
+        np.testing.assert_allclose(
+            np.asarray(cli_cand["params_reference_order"], np.float64),
+            np.asarray(tr.params_reference_order(), np.float64),
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            cli_cand["probability"], float(out.probability[sel]),
+            rtol=1e-4, atol=1e-5,
+        )
+
+
+@pytest.mark.slow
 def test_estimate_and_eval_tools(workdir):
     d = str(workdir)
     if not os.path.exists(os.path.join(d, "fixed_feat.vtk")):

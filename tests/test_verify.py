@@ -190,3 +190,39 @@ class TestSmoParity:
         m2 = parse_libsvm_model(serialize_libsvm_model(m))
         np.testing.assert_allclose(m2.sv, m.sv, rtol=1e-5)
         assert abs(m2.rho - m.rho) < 1e-5
+
+
+class TestShippedVerifier:
+    def test_default_model_loads_and_separates_corpus(self):
+        """The committed verifier_default.model (the analog of the
+        reference's shipped training_data_all.model) loads through the
+        libsvm parser and separates its own multi-scale training corpus —
+        in particular it must ACCEPT aligned examples from BOTH the
+        bench-scale and the reference-scale measurement regimes (round-4's
+        per-pair surrogate silently rejected out-of-regime scales)."""
+        from lrr_tpu.verify import load_default_verifier, scale_measurements
+        from lrr_tpu.verify.svm import DEFAULT_MODEL_PATH
+
+        model = load_default_verifier()
+        assert model.sv.shape[1] == 8
+        assert model.sv.shape[0] >= 32
+
+        corpus = np.load(
+            DEFAULT_MODEL_PATH.replace(
+                "verifier_default.model", "verifier_corpus.npz"
+            ),
+            allow_pickle=True,
+        )
+        for name in corpus["names"]:
+            X = corpus[f"X_{name}"]
+            y = corpus[f"y_{name}"]
+            p = np.asarray(
+                predict_probability(
+                    model, scale_measurements(jnp.asarray(X))
+                )
+            )
+            acc = float(((p > 0.5) == (y > 0)).mean())
+            assert acc > 0.9, f"{name}: acc={acc}"
+            if (y > 0).any():
+                tpr = float((p[y > 0] > 0.5).mean())
+                assert tpr > 0.9, f"{name}: tpr={tpr}"
