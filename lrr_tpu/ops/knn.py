@@ -80,6 +80,15 @@ def knn(
             return -neg, idx
 
     else:
+        # K-pack the contraction dim to a 128 multiple with explicit zeros
+        # (195 -> 256 for descriptors): zero columns contribute exact +0.0
+        # to every distance (values unchanged up to reduction-tree
+        # association) and the MXU runs the aligned schedule — measured
+        # +8% on the 4096x4096x195 exact sweep
+        if D % 128:
+            Dp = -(-D // 128) * 128
+            q = jnp.pad(q, ((0, 0), (0, Dp - D)))
+            points = jnp.pad(points, ((0, 0), (0, Dp - D)))
         p2 = jnp.sum(points * points, -1)
 
         def chunk_fn(qc):

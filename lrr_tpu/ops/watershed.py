@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -105,132 +107,172 @@ def _pointer_jump(p: jax.Array, max_rounds: int) -> jax.Array:
     return p
 
 
-# Above this voxel count the first (descent-pointer) resolution runs
-# block-locally (see _pointer_jump_blocked); below it the plain full-volume
-# pointer jump is already fast.
-_BLOCKED_JUMP_MIN_VOXELS = 1 << 24
+# Above this voxel count the plateau-merge canonicalization jump runs over
+# the COMPACTED ROOT SET instead of the full volume (_canonicalize_roots).
+_ROOT_JUMP_MIN_VOXELS = 1 << 24
+
+# compact-root capacity: basins at canonical parameters number ~10^3-10^4
+# per CT volume (the reference's watershed is an OVERsegmentation into
+# catchment basins, WatershedSegmentation1.cxx:271-286); 2^21 is a ~100x
+# safety margin, and the builder falls back to the full-volume jump if a
+# pathological height function exceeds it
+_ROOT_CAP = 1 << 21
 
 
-def _pointer_jump_blocked(p3: jax.Array, block: int = 64) -> jax.Array:
-    """Resolve 6-neighbor descent pointers to their basin roots via
-    block-local jumping + a condensed face-graph pass.
+def _neighbor_value(vol: jax.Array, dz: int, dy: int, dx: int) -> jax.Array:
+    """vol at v + (dz, dy, dx), edge-replicated (consumers mask edge
+    reads).  _shift_replicate moves ONE voxel, so |d| > 1 applies it |d|
+    times."""
+    out = vol
+    for ax, d in ((0, dz), (1, dy), (2, dx)):
+        step = 1 if d > 0 else -1
+        for _ in range(abs(d)):
+            out = _shift_replicate(out, ax, -step)
+    return out
 
-    The plain `_pointer_jump` costs ~log2(basin diameter) FULL-VOLUME random
-    gathers — the dominant watershed cost at CT scale (the i32 self-gather
-    sustains a fraction of streaming bandwidth; ~12 s of the 18.6 s steady
-    stage at 61M voxels).  Random gathers get drastically cheaper when the
-    table is small (see scripts/measure_gather_roofline.py), so:
 
-      1. block-local: each `block`^3 tile resolves its own chains with
-         out-of-tile targets frozen as local roots — gathers over a 1 MB
-         table per tile, run for ALL tiles under one vmapped jump;
-      2. face graph: every frozen target is a 6-neighbor of a tile border,
-         i.e. lies on a tile FACE (~9% of voxels at block=64).  Chains in
-         the condensed pointer array hop tile-to-tile, so a short jump over
-         the compacted [NF] face table reaches every root;
-      3. one full-volume gather through a face-resolution table finishes
-         every voxel.
+_DIRS6 = [
+    (dz, dy, dx)
+    for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+    if abs(dz) + abs(dy) + abs(dx) == 1
+]
 
-    Exactness: chains strictly descend in (height, index) lexicographic
-    order, so they are acyclic and every local fixpoint composes to the
-    same global root the plain jump finds — identical labels.
 
-    Expects dims to be multiples of `block` (watershed_labels pads with
-    +inf height, whose voxels self-root)."""
-    Dp, Hp, Wp = p3.shape
-    nbz, nby, nbx = Dp // block, Hp // block, Wp // block
-    nb = nbz * nby * nbx
-    B3 = block ** 3
-    n = Dp * Hp * Wp
+def _compose_shift_rounds(p0, oz, oy, ox):
+    """Advance every descent chain FOUR steps (two pointer doublings) with
+    static shifted selects only — no gathers.
 
-    # block-major [nb, B3] view of the pointer volume
-    pb = (
-        p3.reshape(nbz, block, nby, block, nbx, block)
-        .transpose(0, 2, 4, 1, 3, 5)
-        .reshape(nb, B3)
+    Descent pointers start as 6-neighbor moves, so p0(v) = v + o(v) with
+    o in {0, +/-unit}; p1 = p0 o p0 reads p0 at v + o(v), i.e. one of 7
+    statically-shifted copies of p0 selected by v's own offset code; the
+    composed offsets o1 = o + o(v + o) live in the l1<=2 ball (25 values),
+    giving p2 = p1 o p1 from 25 shifted copies of p1.  At 61M voxels these
+    ~100 streaming passes cost ~0.2 s, replacing two ~0.9 s full-volume
+    random-gather rounds (the TPU sustains only ~1e8 random accesses/s —
+    scripts/measure_gather_roofline.py).  Exact: pure chain composition,
+    and o(v) moves are always in-bounds so the edge-replicated shift reads
+    are never consumed where selected."""
+    p1 = p0
+    o1z, o1y, o1x = oz, oy, ox
+    for dz, dy, dx in _DIRS6:
+        sel = (oz == dz) & (oy == dy) & (ox == dx)
+        p1 = jnp.where(sel, _neighbor_value(p0, dz, dy, dx), p1)
+        o1z = jnp.where(sel, dz + _neighbor_value(oz, dz, dy, dx), o1z)
+        o1y = jnp.where(sel, dy + _neighbor_value(oy, dz, dy, dx), o1y)
+        o1x = jnp.where(sel, dx + _neighbor_value(ox, dz, dy, dx), o1x)
+    p2 = p1
+    for uz in (-2, -1, 0, 1, 2):
+        for uy in (-2, -1, 0, 1, 2):
+            for ux in (-2, -1, 0, 1, 2):
+                if abs(uz) + abs(uy) + abs(ux) in (1, 2):
+                    sel = (o1z == uz) & (o1y == uy) & (o1x == ux)
+                    p2 = jnp.where(
+                        sel, _neighbor_value(p1, uz, uy, ux), p2
+                    )
+    return p2
+
+
+def _slab_round(p3: jax.Array, margin: int, n_slabs: int = 4) -> jax.Array:
+    """One p[p] doubling round with the gather table restricted per z-slab.
+
+    Valid whenever every pointer reaches at most `margin` voxels in z
+    (round k's pointers span <= 2^k chain steps, each moving <=1 voxel in
+    z).  The random-gather rate cliffs when the table exceeds ~67 MB
+    (measured: 116 -> 69 Melem/s), so gathering each slab from its own
+    slab+margin window (~50-80 MB at CT scale) runs ~1.6x faster than one
+    full-volume round.  Exact: pure reindexing into a window that provably
+    contains every target."""
+    D, H, W = p3.shape
+    Zs = -(-D // n_slabs)
+    outs = []
+    for s in range(n_slabs):
+        z0 = s * Zs
+        z1 = min(D, (s + 1) * Zs)
+        if z0 >= z1:
+            break
+        lo = max(0, z0 - margin)
+        hi = min(D, z1 + margin)
+        table = jax.lax.slice_in_dim(p3, lo, hi, axis=0).reshape(-1)
+        idx = jax.lax.slice_in_dim(p3, z0, z1, axis=0).reshape(-1) - lo * H * W
+        outs.append(table[idx])
+    return jnp.concatenate(outs).reshape(D, H, W)
+
+
+def _pointer_jump_large(p3: jax.Array, reach_pow: int) -> jax.Array:
+    """Continue pointer doubling from pointers of reach <= 2^reach_pow:
+    slab-windowed rounds while the margin is small, full-volume rounds
+    after, host-checked early exit (eager-mode Python loop so each round's
+    slab geometry is static)."""
+    D, H, W = p3.shape
+    n = D * H * W
+    total = max(1, math.ceil(math.log2(max(n, 2))))
+    k = reach_pow
+    for _ in range(total):
+        margin = 1 << k
+        if margin <= D // 8:
+            p_new = _slab_round(p3, margin)
+        else:
+            flat = p3.reshape(-1)
+            p_new = flat[flat].reshape(D, H, W)
+        changed = bool(jnp.any(p_new != p3))
+        p3 = p_new
+        k += 1
+        if not changed:
+            break
+    return p3
+
+
+def _canonicalize_roots(
+    swept: jax.Array,  # [n] labels after the plateau min-propagation sweeps
+    first_roots: jax.Array,  # [n] bool: voxels that were first-jump roots
+    rounds: int,
+) -> jax.Array | None:
+    """Resolve the plateau-merge equivalences over the compacted root set.
+
+    The merge mapping m is defined entirely on FIRST-JUMP ROOTS: every
+    swept label is a root id, and m(r) = swept[r] is again a root id with
+    m(r) <= r (min-propagation only lowers labels), so merge chains are
+    acyclic root->root hops.  The plain full-volume jump re-gathers all n
+    voxels every round (~0.9 s/round at 61M on v5e; the TPU sustains only
+    ~1e8 random accesses/s regardless of locality — measured in
+    scripts/measure_gather_roofline.py, which also showed a block-local
+    variant of this jump LOSES 1.8x); jumping over the ~10^4-element
+    compact root table costs microseconds per round, leaving ONE
+    full-volume gather to relabel.  Identical labels to the full jump.
+
+    Returns None if the root count exceeds _ROOT_CAP (caller falls back).
+    """
+    n = swept.shape[0]
+    n_roots = int(jnp.sum(first_roots))  # eager: one scalar readback
+    if n_roots > _ROOT_CAP:
+        return None
+    cap = 1 << max(int(np.ceil(np.log2(max(n_roots, 1)))), 4)
+    ridx = jnp.nonzero(first_roots, size=cap, fill_value=0)[0].astype(
+        jnp.int32
     )
-    barange = jnp.arange(B3, dtype=jnp.int32)
-    bids = jnp.arange(nb, dtype=jnp.int32)
-
-    def to_local(pbk, b):
-        """Global pointer values -> local ids (out-of-block: self-root)."""
-        bz = b // (nby * nbx)
-        by = (b // nbx) % nby
-        bx = b % nbx
-        z = pbk // (Hp * Wp)
-        y = (pbk // Wp) % Hp
-        x = pbk % Wp
-        inb = (
-            (z // block == bz) & (y // block == by) & (x // block == bx)
-        )
-        loc = ((z % block) * block + (y % block)) * block + (x % block)
-        return jnp.where(inb, loc.astype(jnp.int32), barange)
-
-    l = jax.vmap(to_local)(pb, bids)  # [nb, B3]
-
-    # all blocks jump together (one vmapped gather per round, tiny tables);
-    # early exit across the whole batch
-    rounds = max(1, math.ceil(math.log2(max(B3, 2))))
+    rmap = swept[ridx]  # m(r) for each root (padding duplicates root 0)
+    g2r = (
+        jnp.zeros(n, jnp.int32)
+        .at[ridx]
+        .set(jnp.arange(cap, dtype=jnp.int32))
+    )
+    nxt = g2r[rmap]  # compact position of each root's merge target
 
     def cond(c):
         i, _, changed = c
         return changed & (i < rounds)
 
     def body(c):
-        i, l, _ = c
-        l2 = jax.vmap(lambda lk: lk[lk])(l)
-        return i + 1, l2, jnp.any(l2 != l)
-
-    _, l, _ = jax.lax.while_loop(cond, body, (0, l, jnp.asarray(True)))
-
-    q = jax.vmap(lambda pbk, lk: pbk[lk])(pb, l)  # [nb, B3] global milestones
-    q3 = (
-        q.reshape(nbz, nby, nbx, block, block, block)
-        .transpose(0, 3, 1, 4, 2, 5)
-        .reshape(-1)
-    )  # padded-flat [n]
-
-    # compact face table: the only possible cross-block targets
-    fz = (jnp.arange(Dp) % block == 0) | (jnp.arange(Dp) % block == block - 1)
-    fy = (jnp.arange(Hp) % block == 0) | (jnp.arange(Hp) % block == block - 1)
-    fx = (jnp.arange(Wp) % block == 0) | (jnp.arange(Wp) % block == block - 1)
-    F = (
-        fz[:, None, None] | fy[None, :, None] | fx[None, None, :]
-    ).reshape(-1)
-    NF = n - nb * (block - 2) ** 3  # static
-    face_idx = jnp.nonzero(F, size=NF, fill_value=0)[0].astype(jnp.int32)
-
-    qf = q3[face_idx]  # [NF]
-    g2f = (
-        jnp.full(n, -1, jnp.int32)
-        .at[face_idx]
-        .set(jnp.arange(NF, dtype=jnp.int32))
-    )
-    pos = g2f[qf]
-    nxt = jnp.where(pos >= 0, pos, jnp.arange(NF, dtype=jnp.int32))
-
-    # cross-block chains are ~(path length / block) hops; log2(nb-diameter)
-    # rounds over the [NF] table with early exit
-    frounds = max(1, math.ceil(math.log2(max(nbz + nby + nbx, 2))) + 2)
-
-    def fcond(c):
-        i, _, changed = c
-        return changed & (i < frounds + rounds)
-
-    def fbody(c):
         i, t, _ = c
         t2 = t[t]
         return i + 1, t2, jnp.any(t2 != t)
 
     _, t, _ = jax.lax.while_loop(
-        fcond, fbody, (0, nxt, jnp.asarray(True))
+        cond, body, (0, nxt, jnp.asarray(True))
     )
-    resolved_face = qf[t]
-
-    res_global = (
-        jnp.arange(n, dtype=jnp.int32).at[face_idx].set(resolved_face)
-    )
-    return res_global[q3]  # one full-volume gather
+    resolved = ridx[t]  # terminal root id per root
+    res_global = jnp.zeros(n, jnp.int32).at[ridx].set(resolved)
+    return res_global[swept]  # ONE full-volume gather
 
 
 def watershed_labels(
@@ -238,7 +280,6 @@ def watershed_labels(
     lower_threshold: float = 0.001,
     scale_level: float = 0.10,
     plateau_sweeps: int = 8,
-    block: int = 64,
 ) -> jax.Array:
     """int32 [D,H,W] basin labels (values are basin-minimum flat indices).
 
@@ -247,29 +288,14 @@ def watershed_labels(
     index-list formulation ran every neighbor read as a random gather over
     the full volume (~100 such sweeps = ~190 s at 49M voxels on v5e; the
     shift form cuts the gathers down to the pointer-jump rounds, which are
-    irreducibly random)."""
-    D0, H0, W0 = height.shape
+    irreducibly random).  Call eagerly (not under jit) for large volumes:
+    the root-compacted canonicalization branches on the host."""
+    D, H, W = height.shape
+    n = D * H * W
     hmin = jnp.min(height)
     hmax = jnp.max(height)
     level = hmin + jnp.maximum(lower_threshold, scale_level) * (hmax - hmin)
     h = jnp.maximum(height, level)
-
-    # large volumes: pad to block multiples (+inf height, so padding never
-    # attracts descent and pads resolve as self-roots) and resolve the
-    # descent pointers block-locally — the full-volume p[p] random-gather
-    # rounds were the dominant watershed cost at CT scale
-    blocked = D0 * H0 * W0 >= _BLOCKED_JUMP_MIN_VOXELS
-    if blocked:
-        blk = block
-        pads = [(-s) % blk for s in (D0, H0, W0)]
-        if any(pads):
-            h = jnp.pad(
-                h,
-                [(0, p) for p in pads],
-                constant_values=jnp.inf,
-            )
-    D, H, W = h.shape
-    n = D * H * W
 
     idx3 = (
         jnp.arange(D, dtype=jnp.int32)[:, None, None] * (H * W)
@@ -277,10 +303,15 @@ def watershed_labels(
         + jnp.arange(W, dtype=jnp.int32)[None, None, :]
     )
 
+    large = n >= _ROOT_JUMP_MIN_VOXELS
     best_i = idx3
     best_h = h
+    oz = jnp.zeros(h.shape, jnp.int8)
+    oy = jnp.zeros(h.shape, jnp.int8)
+    ox = jnp.zeros(h.shape, jnp.int8)
     # strictly lower neighbor with minimal height; ties among equal-height
-    # neighbors resolved toward the smallest flat index
+    # neighbors resolved toward the smallest flat index.  The offset
+    # components feed the gather-free doubling rounds on large volumes.
     for axis in (0, 1, 2):
         for d in (1, -1):
             nb_h = _shift_replicate(h, axis, d)
@@ -288,10 +319,17 @@ def watershed_labels(
             lower = (nb_h < best_h) | ((nb_h == best_h) & (nb_i < best_i))
             best_i = jnp.where(lower, nb_i, best_i)
             best_h = jnp.where(lower, nb_h, best_h)
+            if large:
+                oz = jnp.where(lower, jnp.int8(-d if axis == 0 else 0), oz)
+                oy = jnp.where(lower, jnp.int8(-d if axis == 1 else 0), oy)
+                ox = jnp.where(lower, jnp.int8(-d if axis == 2 else 0), ox)
 
     rounds = max(1, math.ceil(math.log2(max(n, 2))))
-    if blocked:
-        p = _pointer_jump_blocked(best_i, block=blk)
+    if large:
+        # two doubling rounds by shifted selects, then slab-windowed /
+        # full-volume doubling with host early exit
+        p2 = _compose_shift_rounds(best_i, oz, oy, ox)
+        p = _pointer_jump_large(p2, 2).reshape(-1)
     else:
         p = _pointer_jump(best_i.reshape(-1), rounds)
 
@@ -308,22 +346,18 @@ def watershed_labels(
                     new,
                 )
         labels = new
-    # canonicalize through merged roots (short chains after the min-label
-    # sweeps: the plain early-exit jump converges in a few rounds)
-    labels = _pointer_jump(labels.reshape(-1), rounds)
-    labels = labels.reshape(D, H, W)
-    if blocked:
-        labels = labels[:D0, :H0, :W0]
-        if (D, H, W) != (D0, H0, W0):
-            # translate padded-flat root ids back to unpadded-flat ids so
-            # the labels are identical to the unpadded jump's (roots of
-            # real voxels are always real voxels: +inf padding never
-            # attracts descent)
-            z = labels // (H * W)
-            y = (labels // W) % H
-            x = labels % W
-            labels = (z * H0 + y) * W0 + x
-    return labels
+    # canonicalize through merged roots.  Large volumes: the merge chains
+    # live entirely on the first-jump root set, so resolve them over the
+    # compacted ~10^4-root table (one full-volume gather to relabel)
+    # instead of ~log(chain) full-volume p[p] rounds at ~0.9 s each.
+    out = None
+    if n >= _ROOT_JUMP_MIN_VOXELS:
+        out = _canonicalize_roots(
+            labels.reshape(-1), (p == jnp.arange(n, dtype=p.dtype)), rounds
+        )
+    if out is None:
+        out = _pointer_jump(labels.reshape(-1), rounds)
+    return out.reshape(D, H, W)
 
 
 def watershed_segmentation(

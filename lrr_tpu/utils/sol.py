@@ -27,11 +27,26 @@ statement for the WHOLE iteration.  A sampling-only ablation splits the
 iteration into its NN-gather and estimate-LS segments.
 
 Peaks default to TPU v5e (197 TFLOP/s bf16, ~49 TFLOP/s f32, 819 GB/s HBM)
-and are overridable via LRR_PEAK_F32_TFLOPS / LRR_PEAK_HBM_GBS.
+and are overridable via LRR_PEAK_F32_TFLOPS / LRR_PEAK_HBM_GBS.  The
+random-gather denominator is NOT the streaming peak: no random gather can
+reach it, so the bound uses the MEASURED random-row gather ceiling from
+gather_roofline.json (scripts/measure_gather_roofline.py) when present —
+round 4 priced the gather at 819 GB/s and got fraction_of_light 0.006,
+a number that could not distinguish "at the device's gather floor" from
+"10x off it".
+
+Timing methodology (matters through the remote-TPU tunnel): K dependent
+repeats inside one jit, per-iteration time from the SLOPE between a small-K
+and a large-K run — one dispatch+readback costs 20-45 ms here, which a
+divide-by-K alone folds into the per-iteration number (round 4's
+7.1 ms/iter was ~3 ms of compute + ~4 ms of amortized tunnel latency).
+Results are forced to host with device_get: block_until_ready on this
+backend can return before scalar-output programs finish.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -43,16 +58,35 @@ import jax.numpy as jnp
 PEAK_F32_TFLOPS = float(os.environ.get("LRR_PEAK_F32_TFLOPS", "49.0"))
 PEAK_HBM_GBS = float(os.environ.get("LRR_PEAK_HBM_GBS", "819.0"))
 
+_ROOFLINE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "gather_roofline.json",
+)
 
-def _time_fn(fn, args, reps=4):
-    out = jax.block_until_ready(fn(*args))
-    ts = []
-    for _ in range(reps):
-        t0 = time.time()
-        jax.block_until_ready(fn(*args))
-        ts.append(time.time() - t0)
-    del out
-    return min(ts)
+
+def measured_gather_roofline() -> dict | None:
+    """The recorded device random-gather ceilings, or None if the artifact
+    has not been measured on this machine yet."""
+    try:
+        with open(_ROOFLINE_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def _time_fn_slope(make_k, args, k_lo, k_hi, reps=3):
+    """Per-repeat seconds via the K-slope between two loop lengths."""
+    ts = {}
+    for K in (k_lo, k_hi):
+        f = make_k(K)
+        jax.device_get(f(*args))  # compile + warm
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.time()
+            jax.device_get(f(*args))
+            best = min(best, time.time() - t0)
+        ts[K] = best
+    return max((ts[k_hi] - ts[k_lo]) / (k_hi - k_lo), 1e-9)
 
 
 def icp_iteration_sol(
@@ -60,7 +94,7 @@ def icp_iteration_sol(
     n_features: int = 8192,
     map_side: int = 96,
     cap: int = 4096,
-    K: int = 8,
+    K: int = 8,  # k_lo of the slope; k_hi is 5*K
     seed: int = 0,
 ) -> dict:
     """Time one full production ICP iteration per candidate lane.
@@ -119,12 +153,13 @@ def icp_iteration_sol(
     nvalid = jnp.asarray(n_features)
     number = jnp.asarray(cap, jnp.int32)
 
+    k_hi = 5 * K
     A0 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (lanes, 3, 3))
     t0_ = jnp.asarray(
         rng.uniform(-1, 1, (lanes, 3)).astype(np.float32)
     )
     offs = jnp.asarray(
-        rng.integers(0, n_features, (2, K + 1)).astype(np.int32)
+        rng.integers(0, n_features, (2, k_hi + 1)).astype(np.int32)
     )
 
     def lane_iter(A, t, tab_m, tab_f, off_f, off_b, env, with_ls):
@@ -157,45 +192,101 @@ def icp_iteration_sol(
     # arrays bake into the HLO as constants (28-226 MB), which both bloats
     # the executable and overflows the remote-compile tunnel's request cap
     def make_k(with_ls):
-        @jax.jit
-        def run(A, t, tabs_m, tabs_f, offs, env):
-            def body(i, carry):
-                Ac, tc = carry
-                return jax.vmap(
-                    lambda a, b, tm, tf: lane_iter(
-                        a, b, tm, tf, offs[0, i], offs[1, i], env, with_ls
-                    )
-                )(Ac, tc, tabs_m, tabs_f)
+        def make(Kn):
+            @jax.jit
+            def run(A, t, tabs_m, tabs_f, offs, env):
+                def body(i, carry):
+                    Ac, tc = carry
+                    return jax.vmap(
+                        lambda a, b, tm, tf: lane_iter(
+                            a, b, tm, tf, offs[0, i], offs[1, i], env, with_ls
+                        )
+                    )(Ac, tc, tabs_m, tabs_f)
 
-            return jax.lax.fori_loop(0, K, body, (A, t))
+                return jax.lax.fori_loop(0, Kn, body, (A, t))
 
-        return run
+            return run
+        return make
 
     env = (dst_f, dst_m, grid_f, grid_m, vor_f, vor_m)
-    t_full = _time_fn(make_k(True), (A0, t0_, tabs_m, tabs_f, offs, env)) / K
-    t_samp = _time_fn(make_k(False), (A0, t0_, tabs_m, tabs_f, offs, env)) / K
+    args = (A0, t0_, tabs_m, tabs_f, offs, env)
+    t_full = _time_fn_slope(make_k(True), args, K, k_hi)
+    t_samp = _time_fn_slope(make_k(False), args, K, k_hi)
 
-    # roofline light bound (see module docstring)
-    bytes_min = lanes * 2 * (cap * 32 + cap * 32)
+    # per-direction gather: cap random 32-B logical rows from the baked
+    # grid; the bench map fits the fast [V, 8] tile-padded layout, the
+    # reference map uses the dense [V/16, 128] one (icp._grid_rows)
+    padded_layout = map_side ** 3 <= 2 * 1024 * 1024
+    roof = measured_gather_roofline()
+    gather_gbs = None
+    if roof is not None:
+        key = (
+            "gather_gb_s_padded_small" if padded_layout
+            else "gather_gb_s_dense_big"
+        )
+        gather_gbs = roof.get(key)
+
+    bytes_window = lanes * 2 * cap * 32
+    bytes_gather = lanes * 2 * cap * 32
     flops_min = lanes * 2 * (2 * 12 * 12 * 3 * cap + 2 * 12 * 3 * cap + 72 * cap)
-    t_bytes = bytes_min / (PEAK_HBM_GBS * 1e9)
     t_flops = flops_min / (PEAK_F32_TFLOPS * 1e12)
-    t_light = max(t_bytes, t_flops)
-
-    return {
+    # streaming-peak bound (round 4's optimistic denominator, kept for
+    # continuity) and the measured-roofline bound
+    t_bytes_stream = (bytes_window + bytes_gather) / (PEAK_HBM_GBS * 1e9)
+    out = {
         "time_ms_per_iter": round(t_full * 1e3, 3),
         "sample_ms": round(t_samp * 1e3, 3),
         "estimate_ls_ms": round((t_full - t_samp) * 1e3, 3),
-        "light_ms": round(t_light * 1e3, 4),
-        "fraction_of_light": round(t_light / t_full, 3) if t_full > 0 else None,
-        "bound": "hbm" if t_bytes >= t_flops else "mxu",
-        "achieved_gather_gb_s": round(bytes_min / t_samp / 1e9, 1),
+        "light_ms_streaming_peak": round(
+            max(t_bytes_stream, t_flops) * 1e3, 4
+        ),
+        "achieved_gather_gb_s": round(bytes_gather / t_samp / 1e9, 1),
         "peak_gb_s": PEAK_HBM_GBS,
         "shape": (
             f"{lanes} lanes x {cap} matches x 2 dirs, "
             f"{n_features} features, {map_side}^3 map"
         ),
     }
+    if gather_gbs:
+        t_bytes_meas = (
+            bytes_window / (PEAK_HBM_GBS * 1e9)
+            + bytes_gather / (gather_gbs * 1e9)
+        )
+        t_light = max(t_bytes_meas, t_flops)
+        out["light_ms"] = round(t_light * 1e3, 4)
+        out["fraction_of_light"] = (
+            round(t_light / t_full, 3) if t_full > 0 else None
+        )
+        out["bound"] = (
+            "hbm-gather (measured roofline)"
+            if t_bytes_meas >= t_flops else "mxu"
+        )
+        out["gather_roofline_gb_s"] = gather_gbs
+        # sampling segment alone vs its own gather-roofline floor
+        t_gather_floor = bytes_gather / (gather_gbs * 1e9)
+        out["sample_fraction_of_gather_roofline"] = round(
+            t_gather_floor / t_samp, 3
+        ) if t_samp > 0 else None
+        if out["fraction_of_light"] is not None and out["fraction_of_light"] > 1:
+            out["note"] = (
+                "fraction > 1: the iteration outperforms the measured "
+                "single-table gather roofline — the two directions' grid "
+                "gathers and the window DMAs overlap in the production "
+                "sampler, so the hot loop is AT/BEYOND the device's "
+                "isolated random-gather rate (gather floor closed)"
+            )
+    else:
+        out["light_ms"] = round(max(t_bytes_stream, t_flops) * 1e3, 4)
+        out["fraction_of_light"] = (
+            round(max(t_bytes_stream, t_flops) / t_full, 3)
+            if t_full > 0 else None
+        )
+        out["bound"] = (
+            "hbm-streaming (no measured roofline; run "
+            "scripts/measure_gather_roofline.py)"
+            if t_bytes_stream >= t_flops else "mxu"
+        )
+    return out
 
 
 def kernel_sol_report(
@@ -223,31 +314,67 @@ def kernel_sol_report(
     D = 195
     qd = jnp.asarray(rng.standard_normal((n_desc_q, D)).astype(np.float32))
     pd = jnp.asarray(rng.standard_normal((n_desc_p, D)).astype(np.float32))
+    # K-packed variant: 195 -> 256 once with explicit zeros (the MXU pads
+    # the contraction dim internally anyway; explicit padding lets XLA use
+    # the aligned schedule and costs nothing at table build)
+    qd256 = jnp.pad(qd, ((0, 0), (0, 256 - D)))
+    pd256 = jnp.pad(pd, ((0, 0), (0, 256 - D)))
 
-    @jax.jit
-    def nn_k(qd, pd):
-        p2 = jnp.sum(pd * pd, -1)
+    def make_nn(prec):
+        def make(Kn):
+            @jax.jit
+            def nn_k(qd, pd):
+                p2 = jnp.sum(pd * pd, -1)
 
-        def body(i, acc):
-            d2 = (
-                jnp.sum(qd * qd, -1, keepdims=True) + p2[None, :]
-                - 2.0 * jax.lax.dot_general(
-                    qd + 1e-30 * acc, pd, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            )
-            return acc + jnp.min(d2)
-        return jax.lax.fori_loop(0, K, body, 0.0)
+                def body(i, acc):
+                    d2 = (
+                        jnp.sum(qd * qd, -1, keepdims=True) + p2[None, :]
+                        - 2.0 * jax.lax.dot_general(
+                            qd + 1e-30 * acc, pd, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec,
+                        )
+                    )
+                    return acc + jnp.min(d2)
+                return jax.lax.fori_loop(0, Kn, body, 0.0)
+            return nn_k
+        return make
 
-    t = _time_fn(nn_k, (qd, pd)) / K
-    flops = 2 * n_desc_q * n_desc_p * D
-    tf = flops / t / 1e12
+    # The production XLA path (ops/knn.py) runs the contraction at
+    # precision=HIGHEST — exact-NN is the contract; bf16 operand rounding
+    # flipped argmins (round-3 bug) — whose TPU peak is the f32-equivalent
+    # ~PEAK_F32_TFLOPS.  The DEFAULT-precision single-pass bf16 variant is
+    # measured for contrast against the ~4x higher bf16 peak.  (On TPU the
+    # serving path actually dispatches the Pallas fused top-k kernel,
+    # ops/pallas_kernels.knn_pallas — measured separately in test_pallas —
+    # so this quantifies the XLA fallback.)
+    flops = 2 * n_desc_q * n_desc_p * D  # useful flops (195-deep)
+    bf16_peak = 197.0
+    rec = {}
+    for name, prec, a, b, peak in (
+        ("k195_exact", jax.lax.Precision.HIGHEST, qd, pd, PEAK_F32_TFLOPS),
+        ("k256_exact_packed", jax.lax.Precision.HIGHEST, qd256, pd256,
+         PEAK_F32_TFLOPS),
+        ("k195_bf16", jax.lax.Precision.DEFAULT, qd, pd, bf16_peak),
+        ("k256_bf16_packed", jax.lax.Precision.DEFAULT, qd256, pd256,
+         bf16_peak),
+    ):
+        t = _time_fn_slope(make_nn(prec), (a, b), K, 4 * K)
+        tf = flops / t / 1e12
+        rec[name] = {
+            "time_ms": round(t * 1e3, 4),
+            "achieved_tflop_s": round(tf, 2),
+            "fraction_of_peak": round(tf / peak, 3),
+            "peak_tflop_s": peak,
+        }
+    best = max(
+        (rec["k195_exact"], rec["k256_exact_packed"]),
+        key=lambda r: r["achieved_tflop_s"],
+    )
     report["descriptor_nn"] = {
-        "time_ms": round(t * 1e3, 4),
-        "achieved_tflop_s": round(tf, 2),
-        "peak_tflop_s": PEAK_F32_TFLOPS,
-        "fraction_of_peak": round(tf / PEAK_F32_TFLOPS, 3),
-        "bound": "mxu (195-deep f32 contraction)",
+        **best,
+        "bound": "mxu (195-deep exact contraction, precision=HIGHEST)",
         "shape": f"{n_desc_q}x{n_desc_p}x{D}",
+        "variants": rec,
     }
     return report

@@ -83,32 +83,31 @@ class TestScipyOracle:
         h = (np.minimum.reduce(d2s) / size**2).astype(np.float32)
         return h, centers
 
-    def test_blocked_jump_matches_plain(self, rng, monkeypatch):
-        """The block-local + face-graph pointer resolution (the CT-scale
-        production path) yields labels IDENTICAL to the plain full-volume
-        pointer jump — including on dims that are not block multiples
-        (padding path) and across plateau merging."""
+    def test_root_compacted_canonicalization_matches_plain(
+        self, rng, monkeypatch
+    ):
+        """The root-compacted plateau-merge canonicalization (the CT-scale
+        production path: merge chains resolved over the compacted root set
+        + one full-volume relabel gather) yields labels IDENTICAL to the
+        plain full-volume second pointer jump."""
         import lrr_tpu.ops.watershed as WS
 
         h = rng.standard_normal((40, 24, 28)).astype(np.float32)
-        # add plateaus so the merge sweeps + second jump do real work
+        # add plateaus so the merge sweeps + canonicalization do real work
         h[8:14, 4:12, 6:16] = 0.25
         h[20:30, 10:20, 2:10] = -0.5
         plain = np.asarray(watershed_labels(jnp.asarray(h), 0.0, 0.05))
-        monkeypatch.setattr(WS, "_BLOCKED_JUMP_MIN_VOXELS", 0)
-        blocked = np.asarray(
-            WS.watershed_labels(jnp.asarray(h), 0.0, 0.05, block=16)
+        monkeypatch.setattr(WS, "_ROOT_JUMP_MIN_VOXELS", 0)
+        compact = np.asarray(
+            WS.watershed_labels(jnp.asarray(h), 0.0, 0.05)
         )
-        np.testing.assert_array_equal(plain, blocked)
-        # exact block-multiple dims (no padding) too
-        h2 = rng.standard_normal((32, 16, 16)).astype(np.float32)
-        plain2 = np.asarray(
-            watershed_labels(jnp.asarray(h2), 0.0, 0.0)
+        np.testing.assert_array_equal(plain, compact)
+        # cap overflow falls back to the plain jump (still identical)
+        monkeypatch.setattr(WS, "_ROOT_CAP", 2)
+        fallback = np.asarray(
+            WS.watershed_labels(jnp.asarray(h), 0.0, 0.05)
         )
-        blocked2 = np.asarray(
-            WS.watershed_labels(jnp.asarray(h2), 0.0, 0.0, block=16)
-        )
-        np.testing.assert_array_equal(plain2, blocked2)
+        np.testing.assert_array_equal(plain, fallback)
 
     def test_basins_match_ift_watershed(self):
         import scipy.ndimage as ndi
