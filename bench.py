@@ -7,17 +7,21 @@ indexing, per-candidate robust symmetric ICP (vmapped), decision
 measurements, verification — on a precomputed pair context (stage-1
 features/descriptors/Voronoi maps).
 
-The verifier is GT-CALIBRATED on the workload itself (verify/surrogate.py
-`calibrate_verifier`): the reference's `training_data_all.model` was fit
-offline on measurement vectors from registrations labeled by ground truth
-(libsvm/svm-train; loaded at rrl/itkLocationRegistration.cxx:2088-2109),
-and this bench reproduces that procedure on held-out calibration queries.
-With a calibrated verifier, first-candidate acceptance is the common case
-(as in the reference, itkLocationRegistration.cxx:2332-2528) and the
-staged early-exit path resolves most queries in the fused first wave.
-The bench JSON records `verified_frac` and `rank0_frac` so a verifier
-regression can never masquerade as a kernel regression, plus the median
-ground-truth alignment error of the selected transforms.
+The verifier is the SHIPPED model (lrr_tpu/data/verifier_default.model),
+loaded GT-free exactly as the reference loads its one-off offline-trained
+`training_data_all.model` (rrl/itkLocationRegistration.cxx:2088-2109).  It
+was trained by scripts/train_default_verifier.py on GT-labeled
+measurements from a multi-pair corpus spanning bench and
+reference-constants scales, with DIFFERENT phantom seeds than this bench —
+the bench evaluates it out-of-pair.  BENCH_CALIBRATE=1 instead runs the
+per-pair GT-calibration tool (verify/surrogate.calibrate_verifier, the
+documented retraining path).  With a good verifier, first-candidate
+acceptance is the common case (as in the reference,
+itkLocationRegistration.cxx:2332-2528) and the staged early-exit path
+resolves most queries in the fused first wave.  The bench JSON records
+`verified_frac` and `rank0_frac` so a verifier regression can never
+masquerade as a kernel regression, plus the median ground-truth alignment
+error of the selected transforms.
 
 Prints ONE JSON line:
   {"metric": "locations_per_s", "value": N, "unit": "locations/s/chip",
@@ -196,13 +200,30 @@ def main():
         mod = ilu.module_from_spec(spec)
         spec.loader.exec_module(mod)
         rec = mod.run()
+        # vs_baseline anchors the >=10x claim AT REFERENCE CONSTANTS: the
+        # recorded host-CPU steady rate of this same workload
+        # (refscale_baseline.json; method in its "note" field)
+        vs = None
+        try:
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "refscale_baseline.json",
+                )
+            ) as f:
+                vs = round(
+                    rec["locations_per_s"]
+                    / json.load(f)["cpu_locations_per_s"], 2,
+                )
+        except Exception:
+            pass
         print(
             json.dumps(
                 {
                     "metric": "locations_per_s_reference_scale",
                     "value": rec["locations_per_s"],
                     "unit": "locations/s/chip",
-                    "vs_baseline": None,
+                    "vs_baseline": vs,
                     "reference_profile": rec,
                 }
             )
@@ -214,7 +235,7 @@ def main():
     try:
         cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     except Exception:
         pass
 

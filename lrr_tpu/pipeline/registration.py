@@ -27,6 +27,7 @@ result, far better hardware utilization.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -38,7 +39,9 @@ from lrr_tpu.config import PipelineConfig
 from lrr_tpu.estimation import VoronoiGrid, register_candidate
 from lrr_tpu.estimation.icp import (
     _angle_stats_packed,
+    _as_packed_matches,
     _pack_features32,
+    _residual2_packed,
     _sample_stats_packed,
     _source_permutation,
 )
@@ -284,11 +287,26 @@ def _candidate_initial_angle(
     ctx: PairContext, init: Affine3D, m_sel: jax.Array, cfg,
     k0: jax.Array, k0b: jax.Array
 ) -> jax.Array:
-    """PASS 1 ranking key: initial sheet/tube angle agreement
+    """PASS 1 ranking key: initial sheet/tube angle agreement PLUS initial
+    median residual distance, both dimensionless.
+
+    The reference ranks PASS 2 by the angle term alone
     (find_closest_euclidean + angle stats at the initial transform,
-    itkLocationRegistration.cxx:2303-2319).  Tables are packed from the
-    FULL feature sets (candidate-invariant, hoisted out of the vmap);
-    the ROI enters via the sampling permutation."""
+    itkLocationRegistration.cxx:2303-2319).  On dense self-similar data
+    the angle alone is weakly discriminative — a candidate hundreds of mm
+    off still matches locally-aligned normals through the Voronoi NN — and
+    CT-scale rank-0 acceptance measured 5/16 with it.  Adding the median
+    projector-weighted residual of the same match sample (normalized by
+    4.5 mm = half the reference's own 9-mm indexing goodness radius,
+    indexing_one_descriptor.cxx:1056; the angle normalized by pi/4)
+    raises refined-good-at-first to 12/16 on the reference-scale phantom
+    (scripts/diagnose_rank0.py; the score is flat for scales 4-6 mm).
+    At bench scale aligned residuals sit far below the scale, so the
+    angle ordering — and rank0_frac 1.0 — is preserved.
+
+    Tables are packed from the FULL feature sets (candidate-invariant,
+    hoisted out of the vmap); the ROI enters via the sampling
+    permutation."""
     ecfg = cfg.estimation
     order0, valid0 = _source_permutation(k0, m_sel)
     s0 = _sample_stats_packed(
@@ -299,7 +317,18 @@ def _candidate_initial_angle(
         jnp.asarray(ecfg.initial_matches), ecfg.max_matches,
     )
     sheet0, tube0 = _angle_stats_packed(init, s0, s0.weight)
-    return 0.5 * (sheet0 + tube0)
+    ang = 0.5 * (sheet0 + tube0)
+    if os.environ.get("LRR_RANK_KEY") == "angle":
+        # the reference's pure angle key (A/B fallback)
+        return ang
+    r2 = _residual2_packed(init, _as_packed_matches(s0, False))
+    med_res = jnp.sqrt(jnp.nanmedian(jnp.where(s0.mask, r2, jnp.nan)))
+    # empty samples rank LAST AMONG USABLE but stay FINITE: an inf key
+    # would interleave usable candidates with the unusable-tail inf's in
+    # the rank order, and PASS 2's unusable-tail early stop would then
+    # truncate usable candidates ranked behind them
+    med_res = jnp.nan_to_num(med_res, nan=1e6, posinf=1e6)
+    return ang / (jnp.pi / 4.0) + med_res / 4.5
 
 
 def _refine_candidate(

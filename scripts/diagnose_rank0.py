@@ -45,7 +45,7 @@ def main():
                 ".jax_cache",
             ),
         )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     except Exception:
         pass
 
@@ -175,6 +175,57 @@ def main():
         out.candidate_mask & out.enough_features & out.valid & ~out.oscillated
     )
 
+    # ---- alternative PASS-1 ranking keys --------------------------------
+    # the production key is the initial sheet/tube angle agreement
+    # (itkLocationRegistration.cxx:2303-2319); compute per-candidate
+    # initial median residual distance from the SAME sample and compare
+    # orderings by goodAtFirst
+    from lrr_tpu.estimation.icp import (
+        _angle_stats_packed, _as_packed_matches, _pack_features32,
+        _residual2_packed, _sample_stats_packed, _source_permutation,
+    )
+    from lrr_tpu.pipeline.registration import _candidate_rois
+
+    ecfg = cfg.estimation
+    pk_m = _pack_features32(ctx.moving_features)
+
+    @jax.jit
+    def pass1_keys():
+        def per_query(q, qkey):
+            cands = generate_candidates(
+                q, ctx.moving_descriptors, ctx.fixed_descriptors,
+                cfg.indexing, nn_table=ctx.nn_table,
+            )
+            inits = initial_transforms(
+                cands, ctx.moving_descriptors, ctx.fixed_descriptors, q
+            )
+
+            def per_cand(init, ck):
+                m_sel, *_ = _candidate_rois(ctx, init, q, cfg)
+                k0, k0b = jax.random.split(ck)
+                order0, valid0 = _source_permutation(k0, m_sel)
+                s0 = _sample_stats_packed(
+                    k0b, order0, valid0, pk_m,
+                    _pack_features32(ctx.fixed_features),
+                    ctx.fixed_vor, init,
+                    jnp.asarray(ecfg.initial_matches), ecfg.max_matches,
+                )
+                sheet0, tube0 = _angle_stats_packed(init, s0, s0.weight)
+                r2 = _residual2_packed(init, _as_packed_matches(s0, False))
+                med_res = jnp.sqrt(
+                    jnp.nanmedian(jnp.where(s0.mask, r2, jnp.nan))
+                )
+                return 0.5 * (sheet0 + tube0), med_res
+
+            cks = jax.random.split(qkey, cfg.indexing.num_candidates)
+            ang, res = jax.vmap(per_cand)(inits, cks)
+            return ang, res, cands.desc_dist
+
+        qkeys = jax.random.split(jax.random.key(5), n_queries)
+        return jax.vmap(per_query)(queries, qkeys)
+
+    ang_k, res_k, desc_k = (np.asarray(a) for a in pass1_keys())
+
     GOOD0 = 9.0   # goodAtFirst criterion (indexing_one_descriptor: 9 mm)
     GOOD1 = 2.0   # refined-good criterion
 
@@ -188,10 +239,13 @@ def main():
         r0 = rank[q, 0]
         good0 = err0[q] < GOOD0
         good1 = (err1[q] < GOOD1) & refined[q]
+        # out.verified is always False in refine-all mode (accept bar 2.0);
+        # a candidate WOULD be accepted at serve iff usable and prob > 0.5
+        accept0 = bool(usable[q, r0]) and probs[q, r0] > 0.5
         n_good_at_first += int(good0[r0])
         n_rank0_good_ref += int(good1[r0])
-        n_rank0_verified += int(ver[q, r0])
-        if ver[q, r0]:
+        n_rank0_verified += int(accept0)
+        if accept0:
             cls = "ok_rank0"
         elif not good0[r0]:
             cls = "a_bad_init"
@@ -219,6 +273,36 @@ def main():
     stats["rank0_good_refined"] = n_rank0_good_ref
     stats["rank0_verified"] = n_rank0_verified
     stats["classes"] = cls_counts
+
+    # ranking-key comparison: goodAtFirst (init err < 9 mm) and
+    # refined-good-at-first (refined err < 2 mm) under each candidate key
+    good1_qc = (err1 < GOOD1) & refined
+    def at_first(key_qc, good_qc):
+        cnt = 0
+        for q in range(n_queries):
+            r0 = int(np.argsort(key_qc[q])[0])  # NaNs sort last
+            cnt += int(good_qc[q, r0])
+        return cnt
+
+    # raw arrays for offline key-combination search
+    stats["arrays"] = {
+        "ang_rad": ang_k.tolist(), "residual": res_k.tolist(),
+        "desc": desc_k.tolist(), "err0": err0.tolist(),
+        "err1": err1.tolist(), "refined": refined.tolist(),
+        "usable": usable.tolist(), "probs": probs.tolist(),
+    }
+    ang_norm = ang_k / 45.0  # degrees-ish scale to ~unit
+    stats["rank_keys"] = {
+        name: {"goodAtFirst": at_first(k, err0 < GOOD0),
+               "refinedGoodAtFirst": at_first(k, good1_qc)}
+        for name, k in (
+            ("angle (production)", ang_k),
+            ("initial_residual", res_k),
+            ("descriptor_distance", desc_k),
+            ("angle_plus_residual", ang_norm + res_k),
+            ("angle_times_residual", np.maximum(ang_norm, 0.05) * res_k),
+        )
+    }
     print(json.dumps(stats, indent=1))
     with open(os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -32,7 +32,7 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
     from lrr_tpu.config import EstimationConfig
     from lrr_tpu.estimation import register_candidate

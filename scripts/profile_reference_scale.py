@@ -35,7 +35,7 @@ def run(shape=None, n_queries=None):
             "jax_compilation_cache_dir",
             os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
         )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     except Exception:
         pass
 
@@ -199,10 +199,20 @@ def run(shape=None, n_queries=None):
         "staged registration (compile+run)",
         lambda: register_locations_staged(ctx, queries, cfg, svm, jax.random.key(0)),
     )
-    t0 = time.time()
-    out = register_locations_staged(ctx, queries, cfg, svm, jax.random.key(1))
-    jax.block_until_ready(out)
-    reg_s = time.time() - t0
+    # steady: best of two reps with the SAME key.  Each distinct wave
+    # bucket shape costs ~15-20 s of host-side TRACING the first time a
+    # process sees it (the persistent cache skips only the XLA compile),
+    # and the bucket sequence depends on the acceptance pattern, i.e. the
+    # key — a single rep with a fresh key can accidentally measure one
+    # trace instead of the steady dispatch cost.
+    reg_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        out = register_locations_staged(
+            ctx, queries, cfg, svm, jax.random.key(1)
+        )
+        jax.block_until_ready(out)
+        reg_s = min(reg_s, time.time() - t0)
     stages["staged registration (steady)"] = round(reg_s, 3)
     sel = np.asarray(out.selected)
     print(f"  {'staged registration (steady)':<28s} {reg_s:8.3f} s")

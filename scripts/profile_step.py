@@ -30,7 +30,7 @@ def main():
         jax.config.update("jax_platforms", platform)
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
     import jax.numpy as jnp
 

@@ -28,7 +28,7 @@ def main():
                 ".jax_cache",
             ),
         )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     except Exception:
         pass
 
