@@ -275,9 +275,9 @@ def cmd_register(args):
     # PRODUCTION SERVING PATH: all queries batched through the staged
     # early-exit waves — the same code path (and executables) as bench.py;
     # the reference's sequential refine-in-rank-order early exit
-    # (itkLocationRegistration.cxx:2332-2528).  Refined candidates are
-    # bit-identical to the refine-all register_location with per-query keys
-    # split from key(0).
+    # (itkLocationRegistration.cxx:2332-2528).  Refined candidates use the
+    # refine-all register_location's RNG streams (per-query keys split from
+    # key(0)); results agree up to compiled-program numerics (~0.5%).
     base_key = jax.random.key(0)
     qkeys = jax.random.split(base_key, len(queries))
     outs = register_locations_staged(

@@ -547,9 +547,13 @@ def register_locations_staged(
     early exit while staying batched: each wave refines the next GROUP of
     ranks for every still-unresolved query under one vmap, the host checks
     verification in rank order, and later waves run only while some query is
-    still unresolved.  Refined candidates get bit-identical results to
-    `register_location` (same per-candidate RNG streams; on a mesh,
-    identical up to partition-induced reduction order).  Candidates in
+    still unresolved.  Refined candidates use the SAME per-candidate RNG
+    streams as `register_location`, sampling identical match windows;
+    results agree up to compiled-program numerics (the two programs fuse
+    differently and the iterative refinement amplifies ulp-level rounding
+    — measured ~0.5% in affine params on converged candidates; selection
+    and acceptance are stable; a mesh adds partition-induced reduction
+    order).  Candidates in
     ranks NO WAVE reached are left with null results (verified=False,
     probability=0); but within a multi-rank wave (k0/k_r > 1) ranks deeper
     than the accepted one ARE refined and their real results recorded —

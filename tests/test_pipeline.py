@@ -232,8 +232,11 @@ class TestRegisterLocationRigid:
 class TestRegisterLocationsStaged:
     def test_staged_matches_full_on_refined_candidates(self, pair_ctx, rng):
         """The PASS-2 early-exit serving path selects the same candidate as
-        the refine-everything path, and every candidate it does refine gets
-        bit-identical results (same per-candidate RNG streams)."""
+        the refine-everything path, and every candidate it does refine uses
+        the same per-candidate RNG streams (results agree up to
+        compiled-program numerics — the two programs fuse differently and
+        the iterative refinement amplifies rounding; saturated
+        probabilities and selection are stable)."""
         from lrr_tpu.pipeline.registration import (
             _register_locations_jit,
             register_locations_staged,
