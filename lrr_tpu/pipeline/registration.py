@@ -322,6 +322,9 @@ def _candidate_initial_angle(
         # the reference's pure angle key (A/B fallback)
         return ang
     r2 = _residual2_packed(init, _as_packed_matches(s0, False))
+    # (a sliced [:2048] median — exact, since only the first
+    # initial_matches entries are unmasked — was tried and measured
+    # SLOWER at bench scale: the slice broke the sampler/median fusion)
     med_res = jnp.sqrt(jnp.nanmedian(jnp.where(s0.mask, r2, jnp.nan)))
     # empty samples rank LAST AMONG USABLE but stay FINITE: an inf key
     # would interleave usable candidates with the unusable-tail inf's in
