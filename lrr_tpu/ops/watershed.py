@@ -26,6 +26,7 @@ equivalence of basins — not label values — is what matters.
 from __future__ import annotations
 
 import math
+from functools import partial
 
 import numpy as np
 
@@ -172,6 +173,20 @@ def _compose_shift_rounds(p0, oz, oy, ox):
     return p2
 
 
+# Slab gather tables above ~67 MB fall off the measured random-access-rate
+# cliff (116 -> 69 Melem/s, scripts/measure_gather_roofline.py); pick the
+# slab count so each window stays under this.
+_SLAB_WINDOW_BYTES = 56 << 20
+
+
+def _slab_count(shape: tuple[int, int, int], margin: int) -> int:
+    D, H, W = shape
+    window_z = _SLAB_WINDOW_BYTES // (H * W * 4)
+    zs = max(int(window_z) - 2 * margin, 8)
+    return max(1, -(-D // zs))
+
+
+@partial(jax.jit, static_argnames=("margin", "n_slabs"))
 def _slab_round(p3: jax.Array, margin: int, n_slabs: int = 4) -> jax.Array:
     """One p[p] doubling round with the gather table restricted per z-slab.
 
@@ -198,19 +213,100 @@ def _slab_round(p3: jax.Array, margin: int, n_slabs: int = 4) -> jax.Array:
     return jnp.concatenate(outs).reshape(D, H, W)
 
 
+# Pointer-image compaction capacity (flat indices).  Measured at reference
+# scale (scripts/measure_jump_shrink.py, 61M voxels, 77% pre-flooded): the
+# image of the pointer map shrinks geometrically with reach — 31.3M at
+# reach 4, 15.5M at reach 16, 7.4M at reach 32 — while full convergence
+# needs reach ~2048 (pre-flood plateaus chain monotonically in flat index,
+# up to D+H+W steps).  Finishing the doubling over the compacted image
+# replaces ~7 full-volume random sweeps (~0.72 s each on v5e) with
+# sub-0.1 s compact rounds + one scatter + one relabel gather.
+_IMG_CAP = 1 << 24
+
+
+@jax.jit
+def _image_mask_count(flat: jax.Array):
+    """(membership mask, size) of the image T = {flat[v]} — one program."""
+    is_tgt = jnp.zeros(flat.shape[0], jnp.bool_).at[flat].set(True)
+    return is_tgt, jnp.sum(is_tgt)
+
+
+@partial(jax.jit, static_argnames=("cap", "rounds"))
+def _compact_resolve(flat: jax.Array, is_tgt: jax.Array, cap: int, rounds: int):
+    """Finish pointer doubling over the compacted image (one program).
+
+    `flat` maps [n] -> [n]; its image T is closed under flat (flat(t) is
+    itself an image element), so the remaining chain hops live entirely
+    inside T.  Doubling over the cap-sized compact table is exact —
+    identical terminal roots to full-volume p[p] rounds — and costs cap
+    random accesses per round instead of n."""
+    n = flat.shape[0]
+    ridx = jnp.nonzero(is_tgt, size=cap, fill_value=0)[0].astype(jnp.int32)
+    # g2t[v] = compact position of v in T.  nonzero pads with index 0, so
+    # index 0 receives duplicate writes (positions >= |T|); .min keeps
+    # the true position 0 write when voxel 0 is a real image element
+    # (ridx is ascending), and the padded value is never read otherwise
+    # (g2t is only consumed at image elements).
+    g2t = jnp.full(n, cap, jnp.int32).at[ridx].min(
+        jnp.arange(cap, dtype=jnp.int32)
+    )
+    tmap = flat[ridx]  # where each image element points (again in T)
+    nxt = g2t[tmap]  # compact position of that target
+
+    def cond(c):
+        i, _, changed = c
+        return changed & (i < rounds)
+
+    def body(c):
+        i, t, _ = c
+        t2 = t[t]
+        return i + 1, t2, jnp.any(t2 != t)
+
+    _, t, _ = jax.lax.while_loop(cond, body, (0, nxt, jnp.asarray(True)))
+    resolved = ridx[t]  # terminal root id per image element
+    res_global = jnp.zeros(n, jnp.int32).at[ridx].set(resolved)
+    return res_global[flat]  # ONE full-volume gather
+
+
+def _resolve_image_compact(flat: jax.Array, rounds: int) -> jax.Array | None:
+    """Compact-image chain resolution with a host-side capacity gate.
+
+    Returns the resolved full-volume labels, or None if |image| exceeds
+    _IMG_CAP (caller falls back to full-volume rounds)."""
+    is_tgt, n_img_dev = _image_mask_count(flat)
+    n_img = int(n_img_dev)  # one scalar readback
+    if n_img > _IMG_CAP:
+        return None
+    cap = 1 << max(int(np.ceil(np.log2(max(n_img, 1)))), 4)
+    return _compact_resolve(flat, is_tgt, cap, rounds)
+
+
 def _pointer_jump_large(p3: jax.Array, reach_pow: int) -> jax.Array:
     """Continue pointer doubling from pointers of reach <= 2^reach_pow:
-    slab-windowed rounds while the margin is small, full-volume rounds
-    after, host-checked early exit (eager-mode Python loop so each round's
-    slab geometry is static)."""
+    two slab-windowed doubling rounds, then resolve the remaining (long,
+    plateau-dominated) chains over the compacted pointer image
+    (_resolve_image_compact).  Host-checked early exit; eager-mode Python
+    loop so each round's slab geometry is static.  Falls back to
+    slab/full-volume rounds if the image is pathologically large."""
     D, H, W = p3.shape
     n = D * H * W
     total = max(1, math.ceil(math.log2(max(n, 2))))
     k = reach_pow
-    for _ in range(total):
+    for r in range(total):
+        if r >= 4:
+            # compact-image resolution for the long tail.  Waiting until
+            # reach 64 (4 slab rounds) shrinks the image ~7x vs reach 16
+            # (2.2M vs 15.5M at reference scale) — the compact machinery's
+            # per-element costs (nonzero, position map, doubling rounds)
+            # then all run over a 4x smaller power-of-two cap, which
+            # measured faster than compacting earlier despite the two
+            # extra slab rounds.
+            out = _resolve_image_compact(p3.reshape(-1), total)
+            if out is not None:
+                return out.reshape(D, H, W)
         margin = 1 << k
         if margin <= D // 8:
-            p_new = _slab_round(p3, margin)
+            p_new = _slab_round(p3, margin, _slab_count((D, H, W), margin))
         else:
             flat = p3.reshape(-1)
             p_new = flat[flat].reshape(D, H, W)
@@ -226,6 +322,7 @@ def _canonicalize_roots(
     swept: jax.Array,  # [n] labels after the plateau min-propagation sweeps
     first_roots: jax.Array,  # [n] bool: voxels that were first-jump roots
     rounds: int,
+    n_roots: int | None = None,  # pre-read root count (skips one readback)
 ) -> jax.Array | None:
     """Resolve the plateau-merge equivalences over the compacted root set.
 
@@ -242,11 +339,19 @@ def _canonicalize_roots(
 
     Returns None if the root count exceeds _ROOT_CAP (caller falls back).
     """
-    n = swept.shape[0]
-    n_roots = int(jnp.sum(first_roots))  # eager: one scalar readback
+    if n_roots is None:
+        n_roots = int(jnp.sum(first_roots))  # eager: one scalar readback
     if n_roots > _ROOT_CAP:
         return None
     cap = 1 << max(int(np.ceil(np.log2(max(n_roots, 1)))), 4)
+    return _canon_resolve(swept, first_roots, cap, rounds)
+
+
+@partial(jax.jit, static_argnames=("cap", "rounds"))
+def _canon_resolve(
+    swept: jax.Array, first_roots: jax.Array, cap: int, rounds: int
+) -> jax.Array:
+    n = swept.shape[0]
     ridx = jnp.nonzero(first_roots, size=cap, fill_value=0)[0].astype(
         jnp.int32
     )
@@ -275,35 +380,32 @@ def _canonicalize_roots(
     return res_global[swept]  # ONE full-volume gather
 
 
-def watershed_labels(
-    height: jax.Array,
-    lower_threshold: float = 0.001,
-    scale_level: float = 0.10,
-    plateau_sweeps: int = 8,
-) -> jax.Array:
-    """int32 [D,H,W] basin labels (values are basin-minimum flat indices).
-
-    All neighbor access is by one-voxel SHIFTS of the 3-D arrays (XLA slices
-    — sequential memory traffic), not gathered neighbor-index lists: the
-    index-list formulation ran every neighbor read as a random gather over
-    the full volume (~100 such sweeps = ~190 s at 49M voxels on v5e; the
-    shift form cuts the gathers down to the pointer-jump rounds, which are
-    irreducibly random).  Call eagerly (not under jit) for large volumes:
-    the root-compacted canonicalization branches on the host."""
-    D, H, W = height.shape
-    n = D * H * W
-    hmin = jnp.min(height)
-    hmax = jnp.max(height)
-    level = hmin + jnp.maximum(lower_threshold, scale_level) * (hmax - hmin)
-    h = jnp.maximum(height, level)
-
-    idx3 = (
+def _flat_index_grid(D: int, H: int, W: int) -> jax.Array:
+    return (
         jnp.arange(D, dtype=jnp.int32)[:, None, None] * (H * W)
         + jnp.arange(H, dtype=jnp.int32)[None, :, None] * W
         + jnp.arange(W, dtype=jnp.int32)[None, None, :]
     )
 
-    large = n >= _ROOT_JUMP_MIN_VOXELS
+
+@partial(jax.jit, static_argnames=("large",))
+def _descent_stage(
+    height: jax.Array,
+    lower_threshold: jax.Array,
+    scale_level: jax.Array,
+    large: bool,
+):
+    """Pre-flood + descent pointers (+ two composed doubling rounds on the
+    large path) fused into one program: ~130 shifted-select passes that
+    run eagerly as separate 245 MB dispatches fuse into a handful of
+    streaming kernels under jit."""
+    D, H, W = height.shape
+    hmin = jnp.min(height)
+    hmax = jnp.max(height)
+    level = hmin + jnp.maximum(lower_threshold, scale_level) * (hmax - hmin)
+    h = jnp.maximum(height, level)
+
+    idx3 = _flat_index_grid(D, H, W)
     best_i = idx3
     best_h = h
     oz = jnp.zeros(h.shape, jnp.int8)
@@ -324,18 +426,15 @@ def watershed_labels(
                 oy = jnp.where(lower, jnp.int8(-d if axis == 1 else 0), oy)
                 ox = jnp.where(lower, jnp.int8(-d if axis == 2 else 0), ox)
 
-    rounds = max(1, math.ceil(math.log2(max(n, 2))))
     if large:
-        # two doubling rounds by shifted selects, then slab-windowed /
-        # full-volume doubling with host early exit
-        p2 = _compose_shift_rounds(best_i, oz, oy, ox)
-        p = _pointer_jump_large(p2, 2).reshape(-1)
-    else:
-        p = _pointer_jump(best_i.reshape(-1), rounds)
+        return h, _compose_shift_rounds(best_i, oz, oy, ox)
+    return h, best_i
 
-    labels = p.reshape(D, H, W)
-    # merge plateau fragments: propagate min label across equal-height nbrs
-    for _ in range(plateau_sweeps):
+
+@partial(jax.jit, static_argnames=("sweeps",))
+def _sweep_stage(labels: jax.Array, h: jax.Array, p: jax.Array, sweeps: int):
+    """Plateau min-label sweeps + first-jump root mask/count, one program."""
+    for _ in range(sweeps):
         new = labels
         for axis in (0, 1, 2):
             for d in (1, -1):
@@ -346,14 +445,57 @@ def watershed_labels(
                     new,
                 )
         labels = new
+    first_roots = p == jnp.arange(p.shape[0], dtype=p.dtype)
+    return labels, first_roots, jnp.sum(first_roots)
+
+
+def watershed_labels(
+    height: jax.Array,
+    lower_threshold: float = 0.001,
+    scale_level: float = 0.10,
+    plateau_sweeps: int = 8,
+) -> jax.Array:
+    """int32 [D,H,W] basin labels (values are basin-minimum flat indices).
+
+    All neighbor access is by one-voxel SHIFTS of the 3-D arrays (XLA slices
+    — sequential memory traffic), not gathered neighbor-index lists: the
+    index-list formulation ran every neighbor read as a random gather over
+    the full volume (~100 such sweeps = ~190 s at 49M voxels on v5e; the
+    shift form cuts the gathers down to the pointer-jump rounds, which are
+    irreducibly random).  Call eagerly (not under jit) for large volumes:
+    the root-compacted canonicalization branches on the host."""
+    D, H, W = height.shape
+    n = D * H * W
+    large = n >= _ROOT_JUMP_MIN_VOXELS
+
+    h, p0 = _descent_stage(
+        height,
+        jnp.asarray(lower_threshold, height.dtype),
+        jnp.asarray(scale_level, height.dtype),
+        large,
+    )
+
+    rounds = max(1, math.ceil(math.log2(max(n, 2))))
+    if large:
+        # two doubling rounds by shifted selects (inside _descent_stage),
+        # then slab-windowed doubling + compact-image resolution with host
+        # early exit
+        p = _pointer_jump_large(p0, 2).reshape(-1)
+    else:
+        p = _pointer_jump(p0.reshape(-1), rounds)
+
+    # merge plateau fragments: propagate min label across equal-height nbrs
+    labels, first_roots, n_roots_dev = _sweep_stage(
+        p.reshape(D, H, W), h, p, plateau_sweeps
+    )
     # canonicalize through merged roots.  Large volumes: the merge chains
     # live entirely on the first-jump root set, so resolve them over the
     # compacted ~10^4-root table (one full-volume gather to relabel)
     # instead of ~log(chain) full-volume p[p] rounds at ~0.9 s each.
     out = None
-    if n >= _ROOT_JUMP_MIN_VOXELS:
+    if large:
         out = _canonicalize_roots(
-            labels.reshape(-1), (p == jnp.arange(n, dtype=p.dtype)), rounds
+            labels.reshape(-1), first_roots, rounds, int(n_roots_dev)
         )
     if out is None:
         out = _pointer_jump(labels.reshape(-1), rounds)

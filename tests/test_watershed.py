@@ -102,6 +102,13 @@ class TestScipyOracle:
             WS.watershed_labels(jnp.asarray(h), 0.0, 0.05)
         )
         np.testing.assert_array_equal(plain, compact)
+        # pointer-image compaction overflow falls back to slab/full-volume
+        # doubling rounds (still identical)
+        monkeypatch.setattr(WS, "_IMG_CAP", 4)
+        no_img = np.asarray(
+            WS.watershed_labels(jnp.asarray(h), 0.0, 0.05)
+        )
+        np.testing.assert_array_equal(plain, no_img)
         # cap overflow falls back to the plain jump (still identical)
         monkeypatch.setattr(WS, "_ROOT_CAP", 2)
         fallback = np.asarray(
