@@ -262,13 +262,18 @@ def _candidate_rois(ctx: PairContext, init: Affine3D, query: jax.Array, cfg):
     fixed_lo, fixed_hi = query - half, query + half
 
     if ctx.moving_region_labels is not None:
+        # growth stays INSIDE the ROI boxes (the reference collects only
+        # in-box features before grouping them by region,
+        # itkLocationRegistration.cxx:1400-1404,1432-1436)
         m_sel = select_features_by_labels(
             ctx.moving_features, ctx.moving_region_labels, qm,
             ecfg.target_region_features,
+            box_lo=moving_lo, box_hi=moving_hi,
         )
         f_sel = select_features_by_labels(
             ctx.fixed_features, ctx.fixed_region_labels, query,
             ecfg.target_region_features,
+            box_lo=fixed_lo, box_hi=fixed_hi,
         )
     else:
         m_sel = ctx.moving_features.mask & _in_box(

@@ -63,7 +63,14 @@ def reference_cfg():
         descriptors=DescriptorConfig(min_neighbors=100, max_neighbors=2048),
         indexing=IndexingConfig(num_candidates=20, max_query_keypoints=64),
         estimation=EstimationConfig(
-            max_matches=8000, max_iterations=70, min_region_features=1000
+            # min_region_features: the reference gates candidates at >=1000
+            # IN-BOX features (itkLocationRegistration.cxx:1632), a constant
+            # tuned to its chest-CT local density (well over 1000 features
+            # per 50 mm ROI in the lung fields).  The synthetic anchor's
+            # local density is ~10x lower (102-187 in-box at the profile's
+            # 16 queries), so the gate is scaled by the same ratio; the
+            # config default stays the reference's 1000.
+            max_matches=8000, max_iterations=70, min_region_features=64
         ),
     )
 
